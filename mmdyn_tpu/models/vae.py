@@ -1,0 +1,286 @@
+"""VAE and multimodal VAE (product-of-experts), TPU-first.
+
+Architectural parity with the reference (mmdyn/pytorch/models/vae.py), laid out
+NHWC so convolutions tile directly onto the MXU:
+
+* ``Encoder`` (vae.py:179-242): DCGAN conv trunk
+  3 -> 32 -> 64 -> 128 (k=4, s=2, p=1) -> 256 (k=4, s=1, p=0), Swish,
+  BatchNorm after all but the first conv, no conv biases; FC 6400 -> 512 +
+  Swish + Dropout(0.1); condition concat; two heads ``linear_means`` /
+  ``linear_log_var``. 64x64 input -> 5x5x256 bottleneck.
+* ``Decoder`` (vae.py:245-301): Linear(latent -> 6400) + Swish, reshape to
+  5x5x256, three ConvTranspose (k=4) 256->128 (s=1,p=0), 128->64, 64->32,
+  32->3 (s=2,p=1), BatchNorm+Swish between, **logits output** (the reference
+  comments out the final sigmoid, vae.py:278).
+* ``VAE`` (vae.py:70-98): encode -> reparametrize -> decode.
+* ``MVAE`` (vae.py:101-176): per-modality encoder/decoder pairs (+ optional
+  pose MLP 7 <-> [512, 512]), prior expert + PoE fusion.
+
+Departures from the reference, by design (TPU-first):
+* Modality-subset evaluation is restructured: encoders run once per modality
+  and the 3-/7-subset product-of-experts posteriors are computed via
+  ``ops.masked_poe``; decoders are vmapped over the subset axis by the problem
+  layer (see problems/reconstruction.py). BatchNorm statistics remain
+  per-subset (vmap maps over the subset axis, so batch stats see only one
+  subset), preserving the reference's per-pass semantics.
+* Reparameterisation noise is threaded through explicit flax RNG streams
+  ('reparam', 'dropout') rather than global torch RNG.
+* Dropout and BatchNorm always run in training mode — the reference evaluates
+  with model.train() (problems.py:174); we replicate that quirk for parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mmdyn_tpu.config import DROPOUT_RATE
+from mmdyn_tpu.models.layers import (
+    Conv2d,
+    ConvTranspose2d,
+    Dense,
+    Mlp,
+    TrainBatchNorm,
+    swish,
+)
+from mmdyn_tpu.ops.poe import prior_expert, product_of_experts, reparametrize
+
+
+def idx2onehot(idx, n):
+    """Integer class ids -> one-hot (vae.py:337-344)."""
+    idx = jnp.reshape(idx, (-1,))
+    return jax.nn.one_hot(idx, n)
+
+
+def _concat_condition(x, c, categorical, condition_dim):
+    """Concatenate a (possibly categorical) condition (vae.py:231-237)."""
+    if c is None:
+        return x
+    if categorical:
+        c = idx2onehot(c, condition_dim)
+    elif c.ndim == 1:
+        c = c[:, None]
+    return jnp.concatenate([x, c.astype(x.dtype)], axis=-1)
+
+
+class Encoder(nn.Module):
+    """CNN or MLP encoder emitting (means, log_vars)."""
+
+    latent_size: int = 8
+    architecture: str = "cnn"
+    input_dim: int = 784
+    layer_sizes: Sequence[int] = (256, 256)
+    conditional: bool = False
+    categorical_conditions: bool = False
+    condition_dim: Optional[int] = None
+    dropout_rate: float = DROPOUT_RATE
+
+    @nn.compact
+    def __call__(self, x, c=None):
+        if self.architecture == "cnn":
+            x = Conv2d(32, 4, 2, 1, use_bias=False, name="conv_0")(x)
+            x = swish(x)
+            x = Conv2d(64, 4, 2, 1, use_bias=False, name="conv_1")(x)
+            x = TrainBatchNorm(name="bn_1")(x)
+            x = swish(x)
+            x = Conv2d(128, 4, 2, 1, use_bias=False, name="conv_2")(x)
+            x = TrainBatchNorm(name="bn_2")(x)
+            x = swish(x)
+            x = Conv2d(256, 4, 1, 0, use_bias=False, name="conv_3")(x)
+            x = TrainBatchNorm(name="bn_3")(x)
+            x = swish(x)
+            x = jnp.reshape(x, (x.shape[0], -1))  # (B, 5*5*256)
+            x = Dense(512, name="fc")(x)
+            x = swish(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=False)(x)
+        else:
+            x = jnp.reshape(x, (x.shape[0], -1))
+            x = Mlp(self.layer_sizes, activation="relu", name="fc_net")(x)
+            # reference mlp() ends with Identity, then an extra activation-free
+            # stack; heads read the last hidden layer (vae.py:218-222)
+
+        if self.conditional:
+            x = _concat_condition(x, c, self.categorical_conditions, self.condition_dim)
+
+        means = Dense(self.latent_size, name="linear_means")(x)
+        log_vars = Dense(self.latent_size, name="linear_log_var")(x)
+        return means, log_vars
+
+
+class Decoder(nn.Module):
+    """CNN or MLP decoder; CNN output is 64x64x3 *logits* (vae.py:278)."""
+
+    latent_size: int = 2
+    architecture: str = "cnn"
+    output_dim: int = 784
+    layer_sizes: Sequence[int] = (256, 256)
+    conditional: bool = False
+    categorical_conditions: bool = False
+    condition_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, z, c=None):
+        if self.conditional:
+            z = _concat_condition(z, c, self.categorical_conditions, self.condition_dim)
+
+        if self.architecture == "cnn":
+            h = Dense(256 * 5 * 5, name="upsample")(z)
+            h = swish(h)
+            h = jnp.reshape(h, (h.shape[0], 5, 5, 256))
+            h = ConvTranspose2d(128, 4, 1, 0, use_bias=False, name="deconv_0")(h)
+            h = TrainBatchNorm(name="bn_0")(h)
+            h = swish(h)
+            h = ConvTranspose2d(64, 4, 2, 1, use_bias=False, name="deconv_1")(h)
+            h = TrainBatchNorm(name="bn_1")(h)
+            h = swish(h)
+            h = ConvTranspose2d(32, 4, 2, 1, use_bias=False, name="deconv_2")(h)
+            h = TrainBatchNorm(name="bn_2")(h)
+            h = swish(h)
+            h = ConvTranspose2d(3, 4, 2, 1, use_bias=False, name="deconv_3")(h)
+            return h  # logits
+        else:
+            return Mlp(tuple(self.layer_sizes) + (self.output_dim,),
+                       activation="relu", name="deconv_net")(z)
+
+
+class VAE(nn.Module):
+    """Vanilla (optionally conditional) VAE (vae.py:70-98)."""
+
+    latent_size: int = 256
+    architecture: str = "cnn"
+    input_dim: int = 784
+    encoder_layer_sizes: Sequence[int] = (256, 256)
+    decoder_layer_sizes: Sequence[int] = (256, 256)
+    conditional: bool = False
+    categorical_conditions: bool = False
+    condition_dim: Optional[int] = None
+
+    def setup(self):
+        self.encoder = Encoder(
+            latent_size=self.latent_size,
+            architecture=self.architecture,
+            input_dim=self.input_dim,
+            layer_sizes=self.encoder_layer_sizes,
+            conditional=self.conditional,
+            categorical_conditions=self.categorical_conditions,
+            condition_dim=self.condition_dim,
+        )
+        self.decoder = Decoder(
+            latent_size=self.latent_size,
+            architecture=self.architecture,
+            output_dim=self.input_dim,
+            layer_sizes=self.decoder_layer_sizes,
+            conditional=self.conditional,
+            categorical_conditions=self.categorical_conditions,
+            condition_dim=self.condition_dim,
+        )
+
+    def __call__(self, x, c=None):
+        means, log_var = self.encoder(x, c)
+        z = reparametrize(self.make_rng("reparam"), means, log_var)
+        recon_x = self.decoder(z, c)
+        return recon_x, means, log_var
+
+    def encode(self, x, c=None):
+        return self.encoder(x, c)
+
+    def decode(self, z, c=None):
+        return self.decoder(z, c)
+
+    def inference(self, z, c=None):
+        """Decode prior samples z ~ N(0, I) (vae.py:90-98)."""
+        return self.decoder(z, c)
+
+
+class MVAE(nn.Module):
+    """Multimodal VAE with product-of-experts fusion (vae.py:101-176).
+
+    Modalities: visual (image), tactile (image), optional pose (7-D vector
+    through an MLP encoder/decoder with hidden sizes [512, 512],
+    vae.py:117-123).
+    """
+
+    latent_size: int = 256
+    use_pose: bool = False
+    conditional: bool = False
+    categorical_conditions: bool = False
+    condition_dim: Optional[int] = None
+    architecture: str = "cnn"
+
+    def setup(self):
+        assert self.architecture != "mlp", "MVAE is not implemented with MLP"
+        img_kwargs = dict(
+            latent_size=self.latent_size,
+            architecture=self.architecture,
+            conditional=self.conditional,
+            categorical_conditions=self.categorical_conditions,
+            condition_dim=self.condition_dim,
+        )
+        self.visual_encoder = Encoder(**img_kwargs)
+        self.visual_decoder = Decoder(**img_kwargs)
+        self.tactile_encoder = Encoder(**img_kwargs)
+        self.tactile_decoder = Decoder(**img_kwargs)
+        if self.use_pose:
+            # pose pathway is unconditional in the reference (condition_dim=0,
+            # vae.py:118-123)
+            self.pose_encoder = Encoder(
+                latent_size=self.latent_size, architecture="mlp",
+                input_dim=7, layer_sizes=(512, 512))
+            self.pose_decoder = Decoder(
+                latent_size=self.latent_size, architecture="mlp",
+                output_dim=7, layer_sizes=(512, 512))
+
+    # --- single-modality primitives (used by the subset-vectorised problem
+    # layer; each runs encoder BatchNorm/Dropout exactly once per step) ---
+
+    def encode_visual(self, x, c=None):
+        return self.visual_encoder(x, c)
+
+    def encode_tactile(self, x, c=None):
+        return self.tactile_encoder(x, c)
+
+    def encode_pose(self, pose):
+        return self.pose_encoder(pose)
+
+    def decode_visual(self, z, c=None):
+        return self.visual_decoder(z, c)
+
+    def decode_tactile(self, z, c=None):
+        return self.tactile_decoder(z, c)
+
+    def decode_pose(self, z):
+        return self.pose_decoder(z)
+
+    # --- reference-parity joint forward (vae.py:126-165) ---
+
+    def __call__(self, x, pose=None, condition=None):
+        visual, tactile = x
+        present = [m for m in (visual, tactile, pose) if m is not None]
+        batch_size = present[0].shape[0]
+
+        mus = [prior_expert((1, batch_size, self.latent_size))[0]]
+        logvars = [prior_expert((1, batch_size, self.latent_size))[1]]
+        if visual is not None:
+            mu, lv = self.visual_encoder(visual, condition)
+            mus.append(mu[None]); logvars.append(lv[None])
+        if tactile is not None:
+            mu, lv = self.tactile_encoder(tactile, condition)
+            mus.append(mu[None]); logvars.append(lv[None])
+        if pose is not None and self.use_pose:
+            mu, lv = self.pose_encoder(pose)
+            mus.append(mu[None]); logvars.append(lv[None])
+
+        mu, log_var = product_of_experts(
+            jnp.concatenate(mus, 0), jnp.concatenate(logvars, 0))
+        z = reparametrize(self.make_rng("reparam"), mu, log_var)
+        visual_recon = self.visual_decoder(z, condition)
+        tactile_recon = self.tactile_decoder(z, condition)
+        pose_recon = self.pose_decoder(z) if self.use_pose else None
+        return visual_recon, tactile_recon, pose_recon, mu, log_var
+
+    def inference(self, z, c=None):
+        """Decode prior samples into (visual, tactile) (vae.py:167-176)."""
+        return self.visual_decoder(z, c), self.tactile_decoder(z, c)
