@@ -209,6 +209,7 @@ class MVAE(nn.Module):
     categorical_conditions: bool = False
     condition_dim: Optional[int] = None
     architecture: str = "cnn"
+    dropout_rate: float = DROPOUT_RATE
 
     def setup(self):
         assert self.architecture != "mlp", "MVAE is not implemented with MLP"
@@ -219,9 +220,9 @@ class MVAE(nn.Module):
             categorical_conditions=self.categorical_conditions,
             condition_dim=self.condition_dim,
         )
-        self.visual_encoder = Encoder(**img_kwargs)
+        self.visual_encoder = Encoder(dropout_rate=self.dropout_rate, **img_kwargs)
         self.visual_decoder = Decoder(**img_kwargs)
-        self.tactile_encoder = Encoder(**img_kwargs)
+        self.tactile_encoder = Encoder(dropout_rate=self.dropout_rate, **img_kwargs)
         self.tactile_decoder = Decoder(**img_kwargs)
         if self.use_pose:
             # pose pathway is unconditional in the reference (condition_dim=0,

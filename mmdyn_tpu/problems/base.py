@@ -1,0 +1,71 @@
+"""Problem configuration, KL annealing, optimizer factory."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import optax
+
+from mmdyn_tpu import config as cfg_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    """Static (compile-time) problem configuration.
+
+    Field defaults mirror the reference CLI defaults (mmdyn/pytorch/main.py).
+    Frozen + hashable so it can be closed over by jitted functions.
+    """
+
+    problem_type: str = "seq_modeling"
+    model_name: str = "cnn-mvae"
+    input_type: str = "visual"
+    use_pose: bool = False
+    conditional: bool = False
+    mask_loss: bool = False
+    kl_weight: float = 1.0
+    pose_multiplier: float = 1000.0
+    latent_size: int = 256
+    annealing_epochs: int = 50
+    lr: float = 1e-3
+    optimizer: str = "Adam"
+    batchsize: int = 128
+    num_epochs: int = 100
+    condition_dim: Optional[int] = None
+    categorical_conditions: bool = False
+
+    def __post_init__(self):
+        assert self.problem_type in cfg_mod.PROBLEM_TYPES, "Invalid problem type."
+        assert self.input_type in cfg_mod.INPUT_TYPES, "Input type is not implemented"
+        assert self.optimizer in cfg_mod.OPTIMIZERS, "loss name not implemented in Problem"
+
+    @property
+    def cross_modal(self) -> bool:
+        # problems.py:45
+        return self.input_type == "visuotactile"
+
+    @property
+    def is_mvae(self) -> bool:
+        return "mvae" in self.model_name
+
+
+def anneal_kl(epoch: int, annealing_epochs: int) -> float:
+    """kl_weight schedule (problems.py:212-216): linear warmup then 1."""
+    if epoch < annealing_epochs:
+        return (epoch + 1) / annealing_epochs
+    return 1.0
+
+
+def make_optimizer(cfg: ProblemConfig) -> optax.GradientTransformation:
+    """Optimizer factory matching problems.py:130-138.
+
+    SGD: lr, momentum=0.9, weight_decay=5e-4 (decay added to the gradient
+    before momentum, torch semantics). Adam: lr, torch-default betas/eps.
+    """
+    if cfg.optimizer == "SGD":
+        return optax.chain(
+            optax.add_decayed_weights(5e-4),
+            optax.sgd(cfg.lr, momentum=0.9),
+        )
+    return optax.adam(cfg.lr)
