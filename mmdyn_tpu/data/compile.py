@@ -1,0 +1,231 @@
+"""Host-side dataset compile: simulator PNG/JSON dumps -> packed .npz.
+
+Replicates the math of the reference compile
+(mmdyn/pytorch/utils/datasets.py:159-312) exactly, then goes one step further
+than its pickle-of-PIL-lists: frames are baked to the final 64x64 uint8
+training resolution at compile time (the reference re-resizes 256->64 every
+epoch in __getitem__, datasets.py:114-157 — a pure waste since both resizes
+are deterministic). The packed arrays stream straight to HBM with no per-epoch
+host image work.
+
+Replicated reference behaviours (each gated by ``strict_parity``):
+* the LAST sequence of the glob order is never emitted (the reference only
+  flushes a sequence when the next one starts, datasets.py:210-224, and never
+  flushes after the loop);
+* the 'sv' dataset variant appends each sequence seq_length//5 times — the
+  reference's copy loop (datasets.py:213-220) mutates no elements, so its net
+  effect is plain duplication;
+* quaternion min/max forced to [-1, 1] (datasets.py:203-204);
+* min-max normalisation with NaN->0 for degenerate ranges (datasets.py:407-408);
+* seg pixels equal to 1 zeroed after crop+resize (datasets.py:240);
+* availability flags from per-channel std of the 256x256 crops
+  (datasets.py:247-249);
+* sequences shuffled once at compile (datasets.py:259-262); the 80/20
+  train/test split later drops the final element (datasets.py:107-108).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from mmdyn_tpu.config import COMPILE_SIZE, IMAGE_SIZE
+
+COMPILED_NAME = "compiled_dataset_v2.npz"
+
+
+def _minmax_normalize(x, lo, hi):
+    """(x - lo) / (hi - lo), NaN -> 0 (datasets.py:407-408)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.nan_to_num((x - lo) / (hi - lo), nan=0.0)
+
+
+def _bounding_box(img):
+    """Square-expanded bbox of the max-valued seg region (datasets.py:347-366)."""
+    mask = np.where(img == np.max(img))
+    ymin, ymax = np.min(mask[0]), np.max(mask[0])
+    xmin, xmax = np.min(mask[1]), np.max(mask[1])
+    height = ymax - ymin
+    width = xmax - xmin
+    diff = height - width
+    if diff > 0:
+        xmin = max(0, xmin - diff / 2)
+        xmax = min(img.shape[1], xmax + diff / 2)
+    elif diff < 0:
+        ymin = max(0, ymin - abs(diff) / 2)
+        ymax = min(img.shape[0], ymax + abs(diff) / 2)
+    return xmin, ymin, xmax, ymax
+
+
+def _load_image(img_path, bounding_box=None, resize=True):
+    """PIL load + crop + 256x256 resize + 3-channel cast (datasets.py:318-345)."""
+    from PIL import Image
+
+    img = Image.open(img_path)
+    if bounding_box is not None:
+        img = img.crop(bounding_box)
+    if resize:
+        img = img.resize((COMPILE_SIZE, COMPILE_SIZE))
+    np_img = np.array(img).copy()
+    if np_img.ndim == 2:
+        np_img = np.repeat(np_img[:, :, np.newaxis], 3, axis=2).astype(np.uint8)
+    img.close()
+    return np_img
+
+
+def _to_train_res(np_img):
+    """256x256 -> 64x64 bilinear, the train-time torchvision Resize
+    (datasets.py:23-26 uses PIL-backed bilinear)."""
+    from PIL import Image
+
+    img = Image.fromarray(np_img[:, :, :3])
+    img = img.resize((IMAGE_SIZE, IMAGE_SIZE), Image.BILINEAR)
+    return np.array(img, dtype=np.uint8)
+
+
+def compile_dataset(dataset_path, strict_parity=True, seed=None,
+                    compiled_name=COMPILED_NAME, verbose=True):
+    """Compile ``<dataset_path>/dataset/**`` dumps into a packed npz.
+
+    Returns the path of the written npz.
+    """
+    root = Path(dataset_path).expanduser()
+    dump_root = root / "dataset"
+    tactile_images = sorted(dump_root.glob("**/tactile_*.png"))
+    visual_images = sorted(dump_root.glob("**/visual_*.png"))
+    seg_images = sorted(dump_root.glob("**/seg_*.png"))
+    data_files = sorted(dump_root.glob("**/data.json"))
+    assert data_files, f"no data.json under {dump_root}"
+    seq_length = int(len(visual_images) / len(data_files))
+    suffix = str(seq_length - 1).zfill(4)
+    final_visual_images = sorted(dump_root.glob(f"**/visual_{suffix}.png"))
+    final_tactile_images = sorted(dump_root.glob(f"**/tactile_{suffix}.png"))
+    final_seg_images = sorted(dump_root.glob(f"**/seg_{suffix}.png"))
+
+    if verbose:
+        print(f"Visual images: {len(visual_images)}, Tactile images: "
+              f"{len(tactile_images)}, Sequences: {len(data_files)}, "
+              f"Sequence length: {seq_length}")
+
+    # pose / shock min-max over the whole corpus (datasets.py:187-204)
+    pose_list, shock_list = [], []
+    infos = []
+    for d in data_files:
+        with open(d) as f:
+            info = json.load(f)
+        infos.append(info)
+        pose_list.append(np.concatenate(
+            (np.asarray(info["position"]), np.asarray(info["orientation"])), axis=1))
+        if "shock" in info:
+            shock_list.append(np.asarray(info["shock"], dtype=np.float64).reshape(len(info["shock"]), -1))
+        else:
+            shock_list.append(np.zeros((1, 1)))
+    pose_all = np.concatenate(pose_list, axis=0)
+    shock_all = np.concatenate(shock_list, axis=0)
+    pose_min, pose_max = pose_all.min(axis=0), pose_all.max(axis=0)
+    shock_min, shock_max = shock_all.min(axis=0), shock_all.max(axis=0)
+    pose_min[3:] = -1.0
+    pose_max[3:] = 1.0
+    has_shock = any("shock" in info for info in infos)
+    shock_dim = shock_all.shape[1]
+
+    sv = "sv" in str(dataset_path)
+
+    seqs = {k: [] for k in ("visual", "tactile", "pose", "avail", "shock",
+                            "seg", "final_visual", "final_tactile", "final_pose")}
+    cur = {k: [] for k in ("visual", "tactile", "pose", "avail", "shock", "seg")}
+    cur_final = {}
+
+    def flush():
+        reps = (seq_length // 5) if sv else 1  # datasets.py:213-220 net effect
+        for _ in range(reps):
+            for k in ("visual", "tactile", "pose", "avail", "shock", "seg"):
+                seqs[k].append(np.stack(cur[k]) if cur[k] else None)
+            for k in ("final_visual", "final_tactile", "final_pose"):
+                seqs[k].append(cur_final[k])
+
+    n_emitted = 0
+    for i, (vis_p, tac_p, seg_p) in enumerate(
+            zip(visual_images, tactile_images, seg_images)):
+        seq_counter = i // seq_length
+        t = i % seq_length
+
+        if t == 0:
+            if seq_counter != 0:
+                flush()
+                n_emitted += 1
+                cur = {k: [] for k in cur}
+            info = infos[seq_counter]
+            final_seg_np = _load_image(final_seg_images[seq_counter], resize=False)
+            bbox = _bounding_box(final_seg_np)
+            cur_final = {
+                "final_visual": _to_train_res(
+                    _load_image(final_visual_images[seq_counter], bounding_box=bbox)),
+                "final_tactile": _to_train_res(
+                    _load_image(final_tactile_images[seq_counter], bounding_box=bbox)),
+                "final_pose": _minmax_normalize(
+                    np.concatenate((info["position"][-1], info["orientation"][-1])),
+                    pose_min, pose_max).astype(np.float32),
+            }
+
+        seg_np_original = _load_image(seg_p, resize=False)
+        bbox = _bounding_box(seg_np_original)
+        seg_np = _load_image(seg_p, bounding_box=bbox)
+        seg_np = np.where(seg_np == 1, 0, seg_np)
+        visual_np = _load_image(vis_p, bounding_box=bbox)
+        tactile_np = _load_image(tac_p, bounding_box=bbox)
+
+        pose = np.concatenate((info["position"][t], info["orientation"][t]))
+        pose = _minmax_normalize(pose, pose_min, pose_max)
+
+        visual_std = np.std(visual_np, axis=(0, 1))
+        tactile_std = np.std(tactile_np, axis=(0, 1))
+        avail = np.array([float(visual_std.any()), float(tactile_std.any())])
+
+        if has_shock:
+            shock = np.asarray(info["shock"][t], dtype=np.float64).reshape(-1)
+            shock = _minmax_normalize(shock, shock_min, shock_max)
+        else:
+            shock = np.zeros(shock_dim)
+
+        cur["visual"].append(_to_train_res(visual_np))
+        cur["tactile"].append(_to_train_res(tactile_np))
+        cur["pose"].append(pose.astype(np.float32))
+        cur["avail"].append(avail.astype(np.float32))
+        cur["shock"].append(shock.astype(np.float32))
+        cur["seg"].append(_to_train_res(seg_np.astype(np.uint8)))
+
+    if not strict_parity and cur["visual"]:
+        # fixed behaviour: flush the final sequence too
+        flush()
+        n_emitted += 1
+
+    n = len(seqs["visual"])
+    if verbose:
+        print(f"Compiled {n} sequences"
+              + (" (last sequence dropped — reference parity)" if strict_parity else ""))
+
+    # shuffle once (datasets.py:259-262)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+
+    packed = {
+        "visual": np.stack([seqs["visual"][j] for j in order]),
+        "tactile": np.stack([seqs["tactile"][j] for j in order]),
+        "pose": np.stack([seqs["pose"][j] for j in order]),
+        "avail": np.stack([seqs["avail"][j] for j in order]),
+        "seg": np.stack([seqs["seg"][j] for j in order]),
+        "final_visual": np.stack([seqs["final_visual"][j] for j in order]),
+        "final_tactile": np.stack([seqs["final_tactile"][j] for j in order]),
+        "final_pose": np.stack([seqs["final_pose"][j] for j in order]),
+        "seq_length": np.int64(seq_length),
+        "has_shock": np.bool_(has_shock),
+    }
+    if has_shock:
+        packed["shock"] = np.stack([seqs["shock"][j] for j in order])
+
+    out = root / compiled_name
+    np.savez_compressed(out, **packed)
+    return out

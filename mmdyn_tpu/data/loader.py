@@ -1,0 +1,96 @@
+"""Batched iteration + double-buffered device prefetch.
+
+The reference uses a single-process torch DataLoader whose __getitem__ decodes
+PIL images per epoch (datasets.py:114-157). Here batches are cheap array
+slices of the packed uint8 arrays; the uint8 -> float32/255 conversion happens
+on device, and ``device_prefetch`` overlaps host slicing + H2D transfer with
+TPU compute (the reference has no equivalent; its GPU idles during data prep).
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+IMAGE_KEYS = ("visual", "tactile", "seg", "final_visual", "final_tactile")
+
+
+class BatchLoader:
+    """Slices packed per-sequence arrays into (B, T, ...) uint8/float batches.
+
+    drop_last is always-on to match the reference DataLoader (datasets.py:49).
+    """
+
+    def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
+                 shuffle: bool = True, drop_last: bool = True, seed: int = 0):
+        self.arrays = arrays
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        n = next(iter(arrays.values())).shape[0]
+        self.n_sequences = n
+
+    def __len__(self):
+        if self.drop_last:
+            return self.n_sequences // self.batch_size
+        return -(-self.n_sequences // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(self.n_sequences)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            yield {k: v[idx] for k, v in self.arrays.items()}
+
+
+def to_device_batch(batch: Dict[str, np.ndarray], sharding=None):
+    """uint8 images -> float32/255 (the ToTensor scaling, datasets.py:25),
+    placed on device (optionally with a jax.sharding.Sharding)."""
+    out = {}
+    for k, v in batch.items():
+        arr = jnp.asarray(v, device=sharding) if sharding is not None else jnp.asarray(v)
+        if k in IMAGE_KEYS and v.dtype == np.uint8:
+            arr = arr.astype(jnp.float32) / 255.0
+        out[k] = arr
+    return out
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Double-buffered host->device pipeline.
+
+    A background thread slices + enqueues device transfers ``size`` batches
+    ahead, so the accelerator never waits on the host. This replaces the
+    reference's synchronous ``.to(device)`` per field (problems.py:96-108).
+    """
+    queue: collections.deque = collections.deque()
+    sem_space = threading.Semaphore(size)
+    sem_ready = threading.Semaphore(0)
+    done = object()
+
+    def producer():
+        for batch in iterator:
+            sem_space.acquire()
+            queue.append(to_device_batch(batch, sharding))
+            sem_ready.release()
+        sem_space.acquire()
+        queue.append(done)
+        sem_ready.release()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        sem_ready.acquire()
+        item = queue.popleft()
+        sem_space.release()
+        if item is done:
+            return
+        yield item

@@ -1,0 +1,122 @@
+"""Data pipeline tests: compile math, splits, loader semantics, prefetch."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mmdyn_tpu.data import (
+    BatchLoader,
+    VisuoTactileArrays,
+    compile_dataset,
+    dataset_setup,
+    device_prefetch,
+    make_compiled_arrays,
+    make_synthetic_dumps,
+)
+from mmdyn_tpu.data.compile import _bounding_box, _minmax_normalize
+from mmdyn_tpu.data.loader import to_device_batch
+
+
+class TestCompileMath:
+    def test_minmax_normalize_nan_to_zero(self):
+        x = np.array([1.0, 2.0, 3.0])
+        lo = np.array([1.0, 2.0, 3.0])
+        hi = np.array([1.0, 4.0, 3.0])  # degenerate ranges at 0 and 2
+        out = _minmax_normalize(x, lo, hi)
+        np.testing.assert_allclose(out, [0.0, 0.0, 0.0])
+
+    def test_bounding_box_square_expansion(self):
+        img = np.zeros((20, 30), np.uint8)
+        img[5:15, 10:14] = 7  # tall region: height 9, width 3
+        xmin, ymin, xmax, ymax = _bounding_box(img)
+        assert ymin == 5 and ymax == 14
+        assert xmax - xmin == pytest.approx(ymax - ymin)  # squared
+
+    def test_compile_from_synthetic_dumps(self, tmp_path):
+        make_synthetic_dumps(tmp_path, n_sequences=4, seq_length=6)
+        out = compile_dataset(tmp_path, verbose=False)
+        with np.load(out) as z:
+            # strict parity: last sequence dropped (datasets.py:210-224)
+            assert z["visual"].shape == (3, 6, 64, 64, 3)
+            assert z["visual"].dtype == np.uint8
+            assert z["pose"].shape == (3, 6, 7)
+            assert int(z["seq_length"]) == 6
+            assert z["final_pose"].shape == (3, 7)
+            # normalised pose in [0, 1] modulo quaternion fixed range
+            assert z["pose"][..., :3].min() >= -1e-6
+            assert z["pose"][..., :3].max() <= 1 + 1e-6
+
+    def test_compile_non_strict_keeps_all(self, tmp_path):
+        make_synthetic_dumps(tmp_path, n_sequences=4, seq_length=6)
+        out = compile_dataset(tmp_path, strict_parity=False, verbose=False)
+        with np.load(out) as z:
+            assert z["visual"].shape[0] == 4
+
+    def test_compile_with_shock(self, tmp_path):
+        make_synthetic_dumps(tmp_path, n_sequences=3, seq_length=5,
+                             with_shock=True)
+        out = compile_dataset(tmp_path, verbose=False)
+        with np.load(out) as z:
+            assert bool(z["has_shock"])
+            assert z["shock"].shape == (2, 5, 1)
+
+
+class TestDatasetSplit:
+    def test_split_fractions(self, tmp_path):
+        make_compiled_arrays(tmp_path / "compiled_dataset_v2.npz",
+                             n_sequences=10, seq_length=4)
+        train = VisuoTactileArrays(tmp_path, train=True)
+        test = VisuoTactileArrays(tmp_path, train=False)
+        assert len(train) == 8
+        # reference test split is [frac:-1] — drops the final sequence
+        assert len(test) == 1
+        assert train.seq_length == 4
+
+    def test_shock_dim_fallback(self, tmp_path):
+        make_compiled_arrays(tmp_path / "compiled_dataset_v2.npz",
+                             n_sequences=5, seq_length=3)
+        d = VisuoTactileArrays(tmp_path, train=True)
+        assert d.shock_dim == 2  # falls back to avail width (problems.py:679-681)
+
+
+class TestLoader:
+    def test_batching_and_drop_last(self, tmp_path):
+        make_compiled_arrays(tmp_path / "c.npz", n_sequences=10, seq_length=3)
+        d = VisuoTactileArrays(tmp_path, train=True, compiled_name="c.npz")
+        loader = BatchLoader(d.arrays, batch_size=3, shuffle=False)
+        batches = list(loader)
+        assert len(batches) == 2  # 8 // 3, drop_last
+        assert batches[0]["visual"].shape == (3, 3, 64, 64, 3)
+
+    def test_shuffle_changes_order_between_epochs(self, tmp_path):
+        make_compiled_arrays(tmp_path / "c.npz", n_sequences=16, seq_length=2)
+        d = VisuoTactileArrays(tmp_path, train=True, compiled_name="c.npz")
+        loader = BatchLoader(d.arrays, batch_size=12, shuffle=True, seed=0)
+        e1 = next(iter(loader))["pose"].copy()
+        e2 = next(iter(loader))["pose"].copy()
+        assert not np.array_equal(e1, e2)
+
+    def test_to_device_batch_scales_images(self):
+        batch = {"visual": np.full((1, 2, 4, 4, 3), 255, np.uint8),
+                 "pose": np.ones((1, 2, 7), np.float32)}
+        out = to_device_batch(batch)
+        assert float(out["visual"].max()) == pytest.approx(1.0)
+        assert out["pose"].dtype == np.float32
+
+    def test_device_prefetch_yields_all(self, tmp_path):
+        make_compiled_arrays(tmp_path / "c.npz", n_sequences=8, seq_length=2)
+        d = VisuoTactileArrays(tmp_path, train=True, compiled_name="c.npz")
+        loader = BatchLoader(d.arrays, batch_size=2, shuffle=False)
+        got = list(device_prefetch(iter(loader), size=2))
+        assert len(got) == 3  # 6 train seqs // 2
+        assert float(got[0]["visual"].max()) <= 1.0
+
+    def test_dataset_setup_end_to_end(self, tmp_path):
+        make_compiled_arrays(tmp_path / "compiled_dataset_v2.npz",
+                             n_sequences=12, seq_length=4)
+        dd = dataset_setup(tmp_path, "seq_modeling", batchsize=4)
+        assert dd["seq_length"] == 4
+        assert len(dd["train_loader"]) == 2
+        b = next(iter(dd["train_loader"]))
+        assert b["visual"].shape == (4, 4, 64, 64, 3)
