@@ -1,0 +1,152 @@
+"""Headline benchmark: cnn-mvae visuotactile+pose seq_modeling training
+throughput (frames/sec/chip), vs the reference's PyTorch-CPU implementation.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+- value:       frames/sec/chip of the mmdyn_tpu jitted train step on the
+               default JAX backend (TPU when present). A "frame" is one
+               visuotactile+pose training example consumed by one optimizer
+               step (batchsize / step_time).
+- vs_baseline: value / frames-per-sec of a faithful PyTorch-CPU train step
+               (the reference's sequential 3+4-pass MVAE evaluation with
+               backward + Adam), measured in-process at a smaller batch and
+               normalised per-frame.
+
+Flags: --batch, --steps, --latent, --skip-torch (vs_baseline=0), --platform.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+METRIC = "cnn-mvae visuotactile+pose seq_modeling train throughput (frames/sec/chip)"
+
+
+def bench_jax(batch, steps, latent):
+    import jax
+    import jax.numpy as jnp
+    from mmdyn_tpu.models import setup_model
+    from mmdyn_tpu.problems.base import ProblemConfig, make_optimizer
+    from mmdyn_tpu.train.state import create_train_state
+    from mmdyn_tpu.train.steps import make_train_step
+
+    cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
+                        input_type="visuotactile", use_pose=True,
+                        latent_size=latent, batchsize=batch)
+    model = setup_model("cnn-mvae", cross_modal=True, latent_size=latent,
+                        use_pose=True)
+
+    rng = np.random.default_rng(0)
+    seq_len = 2  # seq_modeling consumes frame 0 per sequence; keep host batch slim
+    f32 = lambda *s: jnp.asarray(rng.uniform(size=s).astype(np.float32))
+    batch_data = {
+        "visual": f32(batch, seq_len, 64, 64, 3),
+        "tactile": f32(batch, seq_len, 64, 64, 3),
+        "pose": f32(batch, seq_len, 7),
+        "avail": jnp.ones((batch, seq_len, 2), jnp.float32),
+        "final_visual": f32(batch, 64, 64, 3),
+        "final_tactile": f32(batch, 64, 64, 3),
+        "final_pose": f32(batch, 7),
+        "seg": jnp.ones((batch, seq_len, 64, 64, 3), jnp.float32),
+    }
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    variables = model.init({"params": ks[0], "dropout": ks[1], "reparam": ks[2]},
+                           [batch_data["visual"][:, 0], batch_data["tactile"][:, 0]],
+                           batch_data["final_pose"])
+    tx = make_optimizer(cfg)
+    state = create_train_state(variables["params"], tx)
+    step_fn = make_train_step(cfg, model, tx)
+
+    key = jax.random.PRNGKey(1)
+    kl = jnp.float32(1.0)
+    # warmup / compile
+    key, sub = jax.random.split(key)
+    state, metrics = step_fn(state, batch_data, sub, kl)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch_data, sub, kl)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt, dt, float(metrics["loss"])
+
+
+def bench_torch_cpu(batch, steps, latent):
+    """Reference-semantics PyTorch-CPU train step (sequential subset passes)."""
+    import torch
+    from tests.torch_reference import GoldMVAE, gold_mvae_evaluate
+
+    torch.manual_seed(0)
+    model = GoldMVAE(latent_size=latent, use_pose=True)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    xv = torch.rand(batch, 3, 64, 64)
+    xt = torch.rand(batch, 3, 64, 64)
+    xp = torch.rand(batch, 7)
+
+    def one_step():
+        opt.zero_grad()
+        loss = gold_mvae_evaluate(model, xv, xt, xp, kl_weight=1.0,
+                                  pose_multiplier=1000.0)
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--latent", type=int, default=256)
+    ap.add_argument("--torch-batch", type=int, default=16)
+    ap.add_argument("--torch-steps", type=int, default=2)
+    ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        import os
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platform_name", args.platform)
+
+    fps, step_time, loss = bench_jax(args.batch, args.steps, args.latent)
+    print(f"# jax: {fps:.1f} frames/s  ({step_time*1e3:.2f} ms/step, "
+          f"batch {args.batch}, loss {loss:.1f})", file=sys.stderr)
+
+    vs_baseline = 0.0
+    if not args.skip_torch:
+        tfps, tstep = bench_torch_cpu(args.torch_batch, args.torch_steps,
+                                      args.latent)
+        print(f"# torch-cpu: {tfps:.1f} frames/s ({tstep*1e3:.1f} ms/step, "
+              f"batch {args.torch_batch})", file=sys.stderr)
+        vs_baseline = fps / tfps
+
+    print(json.dumps({
+        "metric": METRIC,
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Device mesh and sharding layout.
+
+The reference is strictly single-device (problems.py:52; SURVEY.md section 2.3
+— no DP/TP/PP anywhere). The TPU framework scales by pure data parallelism
+over a 1-D ``('data',)`` mesh:
+
+* batches are sharded on their leading axis across the mesh;
+* parameters and optimizer state are replicated;
+* the jitted train step runs SPMD — XLA inserts the gradient ``psum`` over ICI
+  automatically from the sharding layout (no hand-written collectives needed
+  at this model scale; see jax-ml.github.io/scaling-book).
+
+The mesh abstraction is 1-D here but nothing below assumes a single host:
+growing to multi-host DP (or adding a model axis for bigger future models) is
+a matter of reshaping the device array.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmdyn_tpu.config import DEFAULT_MESH_AXIS
+
+
+def make_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None,
+              axis_name: str = DEFAULT_MESH_AXIS) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DEFAULT_MESH_AXIS) -> NamedSharding:
+    """Leading-axis sharding for batch pytrees."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a batch pytree with its leading axis split across the mesh."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    return jax.device_put(tree, replicated_sharding(mesh))

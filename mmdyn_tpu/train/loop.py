@@ -1,0 +1,257 @@
+"""Problem orchestration: run dirs, dataset/model/optimizer setup, epoch loop.
+
+Mirrors the reference Problem lifecycle (mmdyn/pytorch/problems/problems.py:
+23-216) with TPU-native internals: jitted fused steps, device-prefetched
+batches, async metric accumulation (host sync once per epoch instead of the
+reference's per-batch loss.item()), optional data-parallel mesh, and — new
+capability — resume from checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from collections import defaultdict
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mmdyn_tpu.data.dataset import dataset_setup
+from mmdyn_tpu.data.loader import device_prefetch, to_device_batch
+from mmdyn_tpu.models.factory import count_parameters, setup_model
+from mmdyn_tpu.parallel.mesh import batch_sharding, replicate
+from mmdyn_tpu.problems.base import ProblemConfig, anneal_kl, make_optimizer
+from mmdyn_tpu.train.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                        save_checkpoint)
+from mmdyn_tpu.train.metrics import MetricWriter
+from mmdyn_tpu.train.state import create_train_state
+from mmdyn_tpu.train.steps import make_eval_step, make_sample_fn, make_train_step
+
+
+class Problem:
+    """End-to-end training driver for one problem configuration."""
+
+    def __init__(self, cfg: ProblemConfig, dataset_path, save_name="run",
+                 logs_root="./logs", log_dir=None, seed=0, mesh=None,
+                 tensorboard=True, strict_parity=True, resume=False):
+        self.dataset_path = dataset_path
+        self.mesh = mesh
+        self.seed = seed
+        self._best_loss = np.inf
+        self._start_epoch = 0
+        self._logger_dict = defaultdict(list)
+
+        if log_dir:
+            self.log_dir = Path(log_dir)
+        else:
+            date = datetime.now().strftime("_%Y_%m_%d_%H_%M_%S")
+            self.log_dir = Path(logs_root) / (save_name + date)
+        self.checkpoint_dir = self.log_dir / "checkpoint"
+        self.tensorboard_dir = self.log_dir / "tensorboard"
+        self.plot_dir = self.log_dir / "plot"
+        for d in (self.log_dir, self.checkpoint_dir, self.tensorboard_dir,
+                  self.plot_dir):
+            d.mkdir(parents=True, exist_ok=True)
+
+        # --- dataset ---
+        dd = dataset_setup(dataset_path, cfg.problem_type,
+                           batchsize=cfg.batchsize, shuffle=True, seed=seed,
+                           strict_parity=strict_parity)
+        self.train_dataset = dd["train_dataset"]
+        self.test_dataset = dd["test_dataset"]
+        self.train_loader = dd["train_loader"]
+        self.test_loader = dd["test_loader"]
+        self.seq_length = dd["seq_length"]
+        print(self.seq_length)
+        print(len(self.train_dataset), len(self.test_dataset))
+
+        # --- condition dim (the shock-force width, problems.py:675-681) ---
+        condition_dim = self.train_dataset.shock_dim
+        self.cfg = dataclasses.replace(cfg, condition_dim=condition_dim)
+
+        # --- model ---
+        self.model = self._build_model()
+        key = jax.random.PRNGKey(seed)
+        self._key, init_key = jax.random.split(key)
+        params = self._init_params(init_key)
+        print(f"model: {self.cfg.model_name}  "
+              f"params: {count_parameters(params):,}")
+
+        # --- optimizer / state / steps ---
+        self.tx = make_optimizer(self.cfg)
+        self.state = create_train_state(params, self.tx)
+        if mesh is not None:
+            self.state = replicate(mesh, self.state)
+        self.train_step = make_train_step(self.cfg, self.model, self.tx)
+        self.eval_step = make_eval_step(self.cfg, self.model)
+        self.sample_fn = make_sample_fn(self.cfg, self.model, n=50)
+
+        if resume:
+            self._resume()
+
+        self.writer = MetricWriter(self.tensorboard_dir, tensorboard=tensorboard)
+
+    # ------------------------------------------------------------------
+    def _build_model(self):
+        cfg = self.cfg
+        if cfg.problem_type == "regression":
+            return setup_model(cfg.model_name, out_dim=7,
+                               conditional=cfg.conditional,
+                               condition_dim=cfg.condition_dim)
+        kwargs = dict(
+            latent_size=cfg.latent_size,
+            architecture=cfg.model_name.split("-")[0],
+            conditional=cfg.conditional,
+            categorical_conditions=cfg.categorical_conditions,
+            condition_dim=cfg.condition_dim,
+        )
+        if cfg.is_mvae:
+            kwargs["use_pose"] = cfg.use_pose
+        else:
+            kwargs["input_dim"] = 64 * 64  # problems.py:372 np.prod(input_size)
+        return setup_model(cfg.model_name, cross_modal=cfg.cross_modal, **kwargs)
+
+    def _init_params(self, key):
+        cfg = self.cfg
+        ks = jax.random.split(key, 3)
+        rngs = {"params": ks[0], "dropout": ks[1], "reparam": ks[2]}
+        img = jnp.zeros((2, 64, 64, 3))
+        cond = jnp.zeros((2, cfg.condition_dim)) if cfg.conditional else None
+        if cfg.problem_type == "regression":
+            variables = self.model.init(rngs, img, cond)
+        elif cfg.is_mvae and cfg.cross_modal:
+            pose = jnp.zeros((2, 7)) if cfg.use_pose else None
+            variables = self.model.init(rngs, [img, img], pose, cond)
+        else:
+            variables = self.model.init(rngs, img, cond)
+        return variables["params"]
+
+    def _resume(self):
+        path = latest_checkpoint(self.checkpoint_dir)
+        if path is None:
+            print("resume requested but no checkpoint found; starting fresh")
+            return
+        self.state, epoch, self._best_loss = restore_checkpoint(path, self.state)
+        self._start_epoch = epoch + 1
+        print(f"resumed from {path} at epoch {epoch} "
+              f"(best val loss {self._best_loss:.4f})")
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _prefetch(self, loader):
+        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        return device_prefetch(iter(loader), size=2, sharding=sharding)
+
+    # ------------------------------------------------------------------
+    def _train_epoch(self, epoch, kl_weight):
+        n_batches = len(self.train_loader)
+        step_losses, perf_acc = [], defaultdict(list)
+        for batch in self._prefetch(self.train_loader):
+            self.state, metrics = self.train_step(
+                self.state, batch, self._next_key(), jnp.float32(kl_weight))
+            step_losses.append(metrics["loss"])
+            for k, v in metrics.items():
+                if k != "loss":
+                    perf_acc[k].append(v)
+        # single host sync per epoch
+        step_losses = [float(x) for x in step_losses]
+        base_step = epoch * n_batches
+        for i, l in enumerate(step_losses):
+            self.writer.scalar("Loss/train_step", l, base_step + i)
+        train_loss = sum(step_losses)
+        self._logger_dict["Loss/train_epoch"].append(train_loss / max(n_batches, 1))
+        self._logger_dict["KL_annealing/train_epoch"].append(kl_weight)
+        for k, vs in perf_acc.items():
+            self._logger_dict[f"Perf_measure_train/{k}"].append(
+                float(sum(float(v) for v in vs)) / max(n_batches, 1))
+        return train_loss
+
+    def _test_epoch(self, epoch, kl_weight):
+        n_batches = len(self.test_loader)
+        losses, perf_acc = [], defaultdict(list)
+        last_aux, last_batch = None, None
+        for batch in self._prefetch(self.test_loader):
+            metrics, aux = self.eval_step(
+                self.state.params, batch, self._next_key(), jnp.float32(kl_weight))
+            losses.append(metrics["loss"])
+            for k, v in metrics.items():
+                if k != "loss":
+                    perf_acc[k].append(v)
+            last_aux, last_batch = aux, batch
+        val_loss = sum(float(x) for x in losses)
+        self._logger_dict["Loss/validation_epoch"].append(val_loss / max(n_batches, 1))
+        for k, vs in perf_acc.items():
+            self._logger_dict[f"Perf_measure_validation/{k}"].append(
+                float(sum(float(v) for v in vs)) / max(n_batches, 1))
+        return val_loss, last_aux, last_batch
+
+    def _write_images(self, epoch, aux, batch, n_images=120):
+        """Input / output / target image panels (problems.py:588-614)."""
+        if aux is None or "recon_x" not in aux:
+            return
+        nrow = self.seq_length if self.seq_length > 1 else int(
+            np.sqrt(self.cfg.batchsize))
+        recon = aux["recon_x"]
+
+        def log(tag, arr):
+            arr = np.asarray(arr)
+            if arr.ndim != 4:
+                return
+            self.writer.image_grid(tag, np.clip(arr[:n_images], 0, 1), epoch,
+                                   nrow=nrow)
+
+        if isinstance(recon, dict):
+            sig = lambda x: jax.nn.sigmoid(x)
+            log("Output_img/validation_visual", sig(recon["visual"]))
+            log("Output_img/validation_tactile", sig(recon["tactile"]))
+        else:
+            log("Output_img/validation", jax.nn.sigmoid(recon))
+
+    def _sample(self, epoch):
+        if self.sample_fn is None:
+            return
+        cond = None
+        if self.cfg.conditional:
+            cond = jax.random.uniform(self._next_key(),
+                                      (50, self.cfg.condition_dim))
+        samples = self.sample_fn(self.state.params, self._next_key(), cond)
+        for k, v in samples.items():
+            arr = np.asarray(v)
+            if arr.ndim == 4:
+                self.writer.image_grid(f"Samples/latent_space_{k}",
+                                       np.clip(arr, 0, 1), epoch)
+
+    # ------------------------------------------------------------------
+    def train(self, save=True):
+        """Epoch loop (problems.py:193-210) + best-val checkpointing + resume
+        snapshots."""
+        cfg = self.cfg
+        for epoch in range(self._start_epoch, cfg.num_epochs):
+            print(f"Epoch: {epoch}")
+            kl_weight = anneal_kl(epoch, cfg.annealing_epochs)
+            self._train_epoch(epoch, kl_weight)
+            val_loss, aux, batch = self._test_epoch(epoch, kl_weight)
+            self._sample(epoch)
+            for key in self._logger_dict:
+                self.writer.scalar(key, self._logger_dict[key][-1], epoch)
+            self._write_images(epoch, aux, batch)
+            self.writer.flush()
+
+            if val_loss < self._best_loss:
+                self._best_loss = val_loss
+                save_checkpoint(self.checkpoint_dir, self.state, epoch,
+                                self._best_loss)
+            save_checkpoint(self.checkpoint_dir, self.state, epoch,
+                            self._best_loss, name="latest")
+
+        if save:
+            with open(self.log_dir / "results.pkl", "wb") as f:
+                pickle.dump(dict(self._logger_dict), f)
+        self.writer.close()
+        return dict(self._logger_dict)

@@ -1,0 +1,200 @@
+"""Train-layer tests: jitted steps, checkpoint save/resume, full loop,
+multi-device DP, CLI smoke."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmdyn_tpu.data.synthetic import make_compiled_arrays, make_synthetic_dumps
+from mmdyn_tpu.models import setup_model
+from mmdyn_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from mmdyn_tpu.problems.base import ProblemConfig, make_optimizer
+from mmdyn_tpu.train.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                        save_checkpoint)
+from mmdyn_tpu.train.loop import Problem
+from mmdyn_tpu.train.state import create_train_state
+from mmdyn_tpu.train.steps import make_eval_step, make_train_step
+
+
+def _small_cfg(**kw):
+    base = dict(problem_type="seq_modeling", model_name="cnn-vae",
+                input_type="visual", latent_size=16, batchsize=4,
+                num_epochs=2, annealing_epochs=2)
+    base.update(kw)
+    return ProblemConfig(**base)
+
+
+def _batch(B=4, T=3, S=1, seed=0):
+    rng = np.random.default_rng(seed)
+    f = lambda *s: jnp.array(rng.uniform(size=s).astype(np.float32))
+    return {
+        "visual": f(B, T, 64, 64, 3), "tactile": f(B, T, 64, 64, 3),
+        "pose": f(B, T, 7), "avail": f(B, T, 2), "shock": f(B, T, S),
+        "final_visual": f(B, 64, 64, 3), "final_tactile": f(B, 64, 64, 3),
+        "final_pose": f(B, 7), "seg": f(B, T, 64, 64, 3),
+    }
+
+
+def _vae_model_and_state(cfg):
+    model = setup_model(cfg.model_name, cross_modal=False,
+                        latent_size=cfg.latent_size, architecture="cnn")
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    variables = model.init({"params": ks[0], "dropout": ks[1], "reparam": ks[2]},
+                           jnp.zeros((2, 64, 64, 3)))
+    tx = make_optimizer(cfg)
+    return model, tx, create_train_state(variables["params"], tx)
+
+
+class TestSteps:
+    def test_train_step_decreases_loss(self):
+        cfg = _small_cfg()
+        model, tx, state = _vae_model_and_state(cfg)
+        step = make_train_step(cfg, model, tx)
+        batch = _batch()
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for i in range(4):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub, jnp.float32(0.5))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 4
+
+    def test_eval_step_runs_without_grads(self):
+        cfg = _small_cfg()
+        model, tx, state = _vae_model_and_state(cfg)
+        estep = make_eval_step(cfg, model)
+        metrics, aux = estep(state.params, _batch(), jax.random.PRNGKey(0),
+                             jnp.float32(1.0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert aux["recon_x"].shape == (4, 64, 64, 3)
+
+    def test_kl_weight_traced_no_recompile(self):
+        cfg = _small_cfg()
+        model, tx, state = _vae_model_and_state(cfg)
+        step = make_train_step(cfg, model, tx)
+        batch = _batch()
+        state, _ = step(state, batch, jax.random.PRNGKey(0), jnp.float32(0.1))
+        before = step._cache_size()
+        state, _ = step(state, batch, jax.random.PRNGKey(1), jnp.float32(0.9))
+        assert step._cache_size() == before
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        cfg = _small_cfg()
+        model, tx, state = _vae_model_and_state(cfg)
+        step = make_train_step(cfg, model, tx)
+        state, _ = step(state, _batch(), jax.random.PRNGKey(0), jnp.float32(1.0))
+        save_checkpoint(tmp_path, state, epoch=3, best_loss=12.5)
+        save_checkpoint(tmp_path, state, epoch=3, best_loss=12.5, name="latest")
+
+        assert latest_checkpoint(tmp_path).name == "latest"
+        _, _, fresh = _vae_model_and_state(cfg)
+        restored, epoch, best = restore_checkpoint(tmp_path / "latest", fresh)
+        assert epoch == 3 and best == 12.5
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+
+
+class TestMultiDevice:
+    def test_dp_train_step_on_8_device_mesh(self):
+        """Sharded batch + replicated params: XLA inserts the grad psum."""
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(8)
+        cfg = _small_cfg(batchsize=8)
+        model, tx, state = _vae_model_and_state(cfg)
+        state = replicate(mesh, state)
+        batch = shard_batch(mesh, _batch(B=8))
+        step = make_train_step(cfg, model, tx)
+        state, metrics = step(state, batch, jax.random.PRNGKey(0),
+                              jnp.float32(1.0))
+        assert np.isfinite(float(metrics["loss"]))
+        # params stay replicated
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_dp_matches_single_device(self):
+        """Same batch, same rng: DP-sharded loss == single-device loss."""
+        mesh = make_mesh(8)
+        cfg = _small_cfg(batchsize=8)
+        model, tx, state = _vae_model_and_state(cfg)
+        estep = make_eval_step(cfg, model)
+        batch = _batch(B=8)
+        m1, _ = estep(state.params, batch, jax.random.PRNGKey(0), jnp.float32(1.0))
+        state_r = replicate(mesh, state)
+        batch_s = shard_batch(mesh, batch)
+        m2, _ = estep(state_r.params, batch_s, jax.random.PRNGKey(0),
+                      jnp.float32(1.0))
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+
+
+class TestLoopEndToEnd:
+    @pytest.mark.parametrize("model_name,input_type,use_pose", [
+        ("cnn-vae", "visual", False),
+        ("cnn-mvae", "visuotactile", True),
+    ])
+    def test_problem_trains_and_checkpoints(self, tmp_path, model_name,
+                                            input_type, use_pose):
+        make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                             n_sequences=10, seq_length=3)
+        cfg = ProblemConfig(problem_type="seq_modeling", model_name=model_name,
+                            input_type=input_type, use_pose=use_pose,
+                            latent_size=8, batchsize=4, num_epochs=2,
+                            annealing_epochs=2)
+        problem = Problem(cfg, tmp_path / "ds", logs_root=str(tmp_path / "logs"),
+                          tensorboard=False)
+        results = problem.train()
+        assert len(results["Loss/train_epoch"]) == 2
+        assert (problem.log_dir / "results.pkl").exists()
+        assert latest_checkpoint(problem.checkpoint_dir) is not None
+        assert (problem.log_dir / "tensorboard" / "metrics.jsonl").exists()
+
+    def test_resume_continues_from_epoch(self, tmp_path):
+        make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                             n_sequences=10, seq_length=3)
+        cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-vae",
+                            input_type="visual", latent_size=8, batchsize=4,
+                            num_epochs=1, annealing_epochs=2)
+        p1 = Problem(cfg, tmp_path / "ds", logs_root=str(tmp_path / "logs"),
+                     tensorboard=False)
+        p1.train()
+        cfg2 = ProblemConfig(problem_type="seq_modeling", model_name="cnn-vae",
+                             input_type="visual", latent_size=8, batchsize=4,
+                             num_epochs=2, annealing_epochs=2)
+        p2 = Problem(cfg2, tmp_path / "ds", log_dir=str(p1.log_dir),
+                     tensorboard=False, resume=True)
+        assert p2._start_epoch == 1
+        p2.train()
+
+    def test_dyn_modeling_and_regression(self, tmp_path):
+        make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                             n_sequences=8, seq_length=3)
+        for ptype, mname, itype in (("dyn_modeling", "cnn-vae", "tactile"),
+                                    ("regression", "regressor", "visual")):
+            cfg = ProblemConfig(problem_type=ptype, model_name=mname,
+                                input_type=itype, latent_size=8, batchsize=2,
+                                num_epochs=1, annealing_epochs=1)
+            problem = Problem(cfg, tmp_path / "ds",
+                              logs_root=str(tmp_path / f"logs_{ptype}"),
+                              tensorboard=False)
+            results = problem.train()
+            assert np.isfinite(results["Loss/train_epoch"][0])
+
+
+def test_cli_end_to_end(tmp_path):
+    """Full CLI smoke: synthetic dumps -> compile -> 1 training epoch."""
+    make_synthetic_dumps(tmp_path / "ds", n_sequences=5, seq_length=4)
+    from mmdyn_tpu.cli.main import main
+    problem = main([
+        "--problem-type", "seq_modeling", "--model-name", "cnn-vae",
+        "--input-type", "visual", "--dataset-path", str(tmp_path / "ds"),
+        "--batchsize", "2", "--num-epochs", "1", "--latent-size", "8",
+        "--logs-root", str(tmp_path / "logs"), "--no-tensorboard",
+        "--save-name", "smoke",
+    ])
+    assert (problem.log_dir / "problem.pkl").exists()
+    assert (problem.log_dir / "results.pkl").exists()
