@@ -1,0 +1,153 @@
+"""Experiment 1: objects freefalling on a flat sensor
+(port of mmdyn/tact_sim/experiments/exp_1_flat_plane.py).
+
+With PyBullet + a local ShapeNetSem download this replays the reference
+protocol (metadata join, COM/texture filtering, per-trial fresh engine). On
+the analytic engine it draws from a synthetic primitive catalog instead, so
+multi-object datasets can be generated anywhere:
+
+    python -m mmdyn_tpu.cli.exp_1_flat_plane --headless --n_objects 4 \
+        --trial_per_obj 2 --n_timesteps 300 --logdir sim_logs
+"""
+
+import argparse
+import json
+import random
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--n_timesteps", type=int, default=500,
+                    help="Number of timesteps in each trial.")
+parser.add_argument("--dataset_dir", type=str, default="~/datasets/ShapeNetSem",
+                    help="Absolute path to the ShapeNetSem directory (PyBullet engine).")
+parser.add_argument("--logdir", type=str, default="sim_logs")
+parser.add_argument("--category",
+                    type=lambda s: [i.replace(" ", "") for i in s.split(",")],
+                    default="", help="ShapeNetSem category filter.")
+parser.add_argument("--show_image", default=False, action="store_true")
+parser.add_argument("--interval", type=int, default=10,
+                    help="Timesteps between snapshots.")
+parser.add_argument("--headless", action="store_true", default=False)
+parser.add_argument("--debug", action="store_true", default=False)
+parser.add_argument("--trial_per_obj", type=int, default=10)
+parser.add_argument("--engine", type=str, default="auto",
+                    choices=["auto", "pybullet", "analytic"])
+parser.add_argument("--n_objects", type=int, default=8,
+                    help="Synthetic catalog size (analytic engine).")
+parser.add_argument("--seed", type=int, default=None)
+
+
+def iter_objects(args, engine):
+    """Yield parsed object records for the configured engine."""
+    from mmdyn_tpu.sim import config
+    from mmdyn_tpu.sim.assets import (parse_shapenet_sem, preload_shapenet_sem,
+                                      synthetic_object_catalog)
+
+    if engine == "pybullet":
+        meta_df, root = preload_shapenet_sem(path=args.dataset_dir,
+                                             category=args.category or [""])
+        print(f"Total number of available objects (before filtering out): "
+              f"{meta_df.shape}")
+        for _, row in meta_df.iterrows():
+            info = parse_shapenet_sem(row, root)
+            if (info["colors"] or info["textured_material"]) and \
+                    np.linalg.norm(info["center_mass"]) < config.COM_THRESHOLD:
+                yield info
+    else:
+        yield from synthetic_object_catalog(args.n_objects,
+                                            seed=args.seed or 0)
+
+
+def run_trial(args, info, k, engine):
+    from mmdyn_tpu.sim import config
+    from mmdyn_tpu.sim.physics import setup_backend
+    from mmdyn_tpu.sim.sensor import make_sensor
+    from mmdyn_tpu.sim.sample import sample_pose
+    from mmdyn_tpu.sim.assets import spawn_object
+    from mmdyn_tpu.cli._simrun import snapshot
+
+    backend = setup_backend(time_step=config.TIME_STEP,
+                            renders=not args.headless, gravity=True,
+                            engine=engine)
+    sensor = make_sensor(backend, size=[1.5, 1.5, 1], position=[0, 0, 0.5],
+                         sensor_vector=[0, 0, 1], thickness=0.005,
+                         use_force=False, constrained=False)
+
+    if not info["textured_material"]:
+        color = list(random.choice(info["colors"]))
+        color[-1] = 1.0
+    else:
+        color = []
+
+    init_pos = np.array([0.0, 0.0, 1.5])
+    COM_shift = info["center_mass"] - np.array([0, 0, info["mesh_height"] / 4])
+    position, orientation = sample_pose(init_pos, random_chance=0.8,
+                                        random_orn=True, gaussian_mean=0,
+                                        gaussian_std=0.05)
+
+    obj_id = spawn_object(backend, info,
+                          position=init_pos - info["center_mass"],
+                          orientation=[0, 0, 0, 1], mass=1, color=color,
+                          COM_shift=COM_shift)
+    backend.set_pose(obj_id, *backend.get_pose(obj_id))
+    pos, _ = backend.get_pose(obj_id)
+    backend.set_pose(obj_id, pos, orientation)
+
+    # blank-image guard (exp_1:111-115)
+    _, _, _, seg_img, _ = sensor.get_sensor_image()
+    if sensor.is_blank(seg_img):
+        backend.reset()
+        backend.disconnect()
+        return False
+
+    data = defaultdict(list)
+    img_counter = 0
+    path = Path(args.logdir).joinpath(info["synset"], info["obj_name"],
+                                      "sequence_" + str(k).zfill(4))
+    for t in range(args.n_timesteps):
+        if (t + 1) % args.interval == 0:
+            pose, _ = snapshot(sensor, obj_id, path, img_counter,
+                               show_image=args.show_image)
+            data["time_step"].append(t)
+            data["time"].append(t * config.TIME_STEP)
+            data["position"].append(list(pose[0]))
+            data["orientation"].append(list(pose[1]))
+            img_counter += 1
+        backend.step()
+
+    with open(path.joinpath("data.json"), "w") as f:
+        json.dump(data, f)
+    backend.reset()
+    backend.disconnect()
+    return True
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+
+    engine = args.engine
+    if engine == "auto":
+        try:
+            import pybullet  # noqa: F401
+            engine = "pybullet"
+        except ImportError:
+            engine = "analytic"
+
+    total = 0
+    for info in iter_objects(args, engine):
+        total += 1
+        for k in range(args.trial_per_obj):
+            print(f"OBJ #{total} - {k + 1}: Collecting images from the object "
+                  f"{info['obj_name']} from category {info['category']}")
+            run_trial(args, info, k, engine)
+    print(f"done: {total} objects x {args.trial_per_obj} trials")
+
+
+if __name__ == "__main__":
+    main()

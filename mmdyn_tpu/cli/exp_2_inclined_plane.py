@@ -1,0 +1,140 @@
+"""Experiment 2: objects on an inclined sensor
+(port of mmdyn/tact_sim/experiments/exp_2_inclined_plane.py).
+
+The sensor is tilted by --slope radians about the y-axis and (on PyBullet)
+held by a fixed constraint re-pinned every step; contact force is logged.
+
+    python -m mmdyn_tpu.cli.exp_2_inclined_plane --headless --slope 0.15 \
+        --n_objects 2 --trial_per_obj 1 --n_timesteps 300 --logdir sim_logs
+"""
+
+import argparse
+import json
+import random
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--n_timesteps", type=int, default=500)
+parser.add_argument("--dataset_dir", type=str, default="~/datasets/ShapeNetSem")
+parser.add_argument("--logdir", type=str, default="sim_logs")
+parser.add_argument("--category",
+                    type=lambda s: [i.replace(" ", "") for i in s.split(",")],
+                    default="")
+parser.add_argument("--show_image", default=False, action="store_true")
+parser.add_argument("--interval", type=int, default=10)
+parser.add_argument("--headless", action="store_true", default=False)
+parser.add_argument("--slope", type=float, default=0.15,
+                    help="Sensor tilt angle (radians).")
+parser.add_argument("--debug", action="store_true", default=False)
+parser.add_argument("--trial_per_obj", type=int, default=10)
+parser.add_argument("--engine", type=str, default="auto",
+                    choices=["auto", "pybullet", "analytic"])
+parser.add_argument("--n_objects", type=int, default=8)
+parser.add_argument("--seed", type=int, default=None)
+
+
+def run_trial(args, info, k, engine):
+    from mmdyn_tpu.sim import config
+    from mmdyn_tpu.sim.physics import PyBulletBackend, setup_backend
+    from mmdyn_tpu.sim.sensor import make_sensor
+    from mmdyn_tpu.sim.sample import sample_pose
+    from mmdyn_tpu.sim.assets import spawn_object
+    from mmdyn_tpu.sim.transforms import quat_from_euler
+    from mmdyn_tpu.cli._simrun import snapshot
+
+    backend = setup_backend(time_step=config.TIME_STEP,
+                            renders=not args.headless, gravity=True,
+                            engine=engine)
+    tilt = quat_from_euler([0.0, args.slope, 0.0])
+    sensor = make_sensor(backend, size=[1.5, 1.5, 1], position=[0, 0, 0.5],
+                         orientation=tuple(tilt), sensor_vector=[0, 0, 1],
+                         thickness=0.005, use_force=False,
+                         constrained=isinstance(backend, PyBulletBackend))
+
+    if not info["textured_material"]:
+        color = list(random.choice(info["colors"]))
+        color[-1] = 1.0
+    else:
+        color = []
+
+    init_pos = np.array([0.3, 0.0, 1.5])
+    COM_shift = info["center_mass"] - np.array([0, 0, info["mesh_height"] / 4])
+    position, orientation = sample_pose(init_pos, random_chance=0.8,
+                                        random_orn=True, gaussian_mean=0,
+                                        gaussian_std=0.05)
+    obj_id = spawn_object(backend, info,
+                          position=init_pos - info["center_mass"],
+                          orientation=[0, 0, 0, 1], mass=1, color=color,
+                          COM_shift=COM_shift)
+    pos, _ = backend.get_pose(obj_id)
+    backend.set_pose(obj_id, pos, orientation)
+
+    _, _, _, seg_img, _ = sensor.get_sensor_image()
+    if sensor.is_blank(seg_img):
+        backend.reset()
+        backend.disconnect()
+        return False
+
+    data = defaultdict(list)
+    img_counter = 0
+    path = Path(args.logdir).joinpath(info["synset"], info["obj_name"],
+                                      "sequence_" + str(k).zfill(4))
+    sensor_pose = backend.get_pose(sensor.sensor_id)
+    for t in range(args.n_timesteps):
+        # hold the tilted sensor in place every step (exp_2:131 fix_object)
+        if isinstance(backend, PyBulletBackend):
+            from mmdyn_tpu.sim.pybullet_utils import fix_object
+            fix_object(backend, sensor.sensor_id, sensor._sensor_constraint)
+        else:
+            backend.set_pose(sensor.sensor_id, *sensor_pose)
+
+        if (t + 1) % args.interval == 0:
+            pose, force = snapshot(sensor, obj_id, path, img_counter,
+                                   mask_seg_to_obj=True,
+                                   show_image=args.show_image)
+            data["time_step"].append(t)
+            data["time"].append(t * config.TIME_STEP)
+            data["position"].append(list(pose[0]))
+            data["orientation"].append(list(pose[1]))
+            data["force"].append(force)
+            img_counter += 1
+        backend.step()
+
+    with open(path.joinpath("data.json"), "w") as f:
+        json.dump(data, f)
+    backend.reset()
+    backend.disconnect()
+    return True
+
+
+def main(argv=None):
+    from mmdyn_tpu.cli.exp_1_flat_plane import iter_objects
+
+    args = parser.parse_args(argv)
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+
+    engine = args.engine
+    if engine == "auto":
+        try:
+            import pybullet  # noqa: F401
+            engine = "pybullet"
+        except ImportError:
+            engine = "analytic"
+
+    total = 0
+    for info in iter_objects(args, engine):
+        total += 1
+        for k in range(args.trial_per_obj):
+            print(f"OBJ #{total} - {k + 1}: {info['obj_name']} "
+                  f"({info['category']}), slope={args.slope}")
+            run_trial(args, info, k, engine)
+    print(f"done: {total} objects x {args.trial_per_obj} trials")
+
+
+if __name__ == "__main__":
+    main()

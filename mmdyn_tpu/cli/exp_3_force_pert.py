@@ -1,0 +1,140 @@
+"""Experiment 3: force perturbation of initially stable objects
+(port of mmdyn/tact_sim/experiments/exp_3_force_pert.py).
+
+The object settles on a movable (mass 100) sensor; during t in [130, 160] a
+random lateral shock force is applied to the sensor every step. Snapshots are
+taken from t >= 100 and the shock vector is logged per frame, feeding the
+conditional (CVAE) training pathway downstream.
+
+    python -m mmdyn_tpu.cli.exp_3_force_pert --headless --force 1 \
+        --n_objects 2 --trial_per_obj 1 --n_timesteps 300 --logdir sim_logs
+"""
+
+import argparse
+import json
+import random
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--n_timesteps", type=int, default=500)
+parser.add_argument("--dataset_dir", type=str, default="~/datasets/ShapeNetSem")
+parser.add_argument("--logdir", type=str, default="sim_logs")
+parser.add_argument("--category",
+                    type=lambda s: [i.replace(" ", "") for i in s.split(",")],
+                    default="")
+parser.add_argument("--show_image", default=False, action="store_true")
+parser.add_argument("--interval", type=int, default=10)
+parser.add_argument("--headless", action="store_true", default=False)
+parser.add_argument("--force", type=float, default=1)
+parser.add_argument("--debug", action="store_true", default=False)
+parser.add_argument("--trial_per_obj", type=int, default=10)
+parser.add_argument("--engine", type=str, default="auto",
+                    choices=["auto", "pybullet", "analytic"])
+parser.add_argument("--n_objects", type=int, default=8)
+parser.add_argument("--seed", type=int, default=None)
+parser.add_argument("--snapshot_from", type=int, default=100,
+                    help="First timestep eligible for snapshots (exp_3:128).")
+
+
+def run_trial(args, info, k, engine, force_amp):
+    from mmdyn_tpu.sim import config
+    from mmdyn_tpu.sim.physics import setup_backend
+    from mmdyn_tpu.sim.sensor import make_sensor
+    from mmdyn_tpu.sim.sample import sample_pose
+    from mmdyn_tpu.sim.assets import spawn_object
+    from mmdyn_tpu.cli._simrun import snapshot
+
+    backend = setup_backend(time_step=config.TIME_STEP,
+                            renders=not args.headless, gravity=True,
+                            engine=engine)
+    # movable sensor, mass 100 (exp_3:64-65)
+    sensor = make_sensor(backend, size=[1.5, 1.5, 1], position=[0, 0, 0.5],
+                         sensor_vector=[0, 0, 1], thickness=0.005,
+                         use_force=False, constrained=False, mass=100)
+
+    if not info["textured_material"]:
+        color = list(random.choice(info["colors"]))
+        color[-1] = 1.0
+    else:
+        color = []
+
+    init_pos = np.array([0.0, 0.0, 1.3])
+    COM_shift = info["center_mass"] - np.array([0, 0, info["mesh_height"] / 4])
+    position, orientation = sample_pose(init_pos, random_chance=0.8,
+                                        random_orn=False, gaussian_mean=0,
+                                        gaussian_std=0.05)
+    obj_id = spawn_object(backend, info,
+                          position=init_pos - info["center_mass"],
+                          orientation=[0, 0, 0, 1], mass=1, color=color,
+                          COM_shift=COM_shift)
+    pos, _ = backend.get_pose(obj_id)
+    backend.set_pose(obj_id, pos, orientation)
+
+    _, _, _, seg_img, _ = sensor.get_sensor_image()
+    if sensor.is_blank(seg_img):
+        backend.reset()
+        backend.disconnect()
+        return False
+
+    data = defaultdict(list)
+    shock = [force_amp * np.random.normal(), force_amp * np.random.normal(), 0]
+    img_counter = 0
+    path = Path(args.logdir).joinpath(info["synset"], info["obj_name"],
+                                      str(int(force_amp)),
+                                      "sequence_" + str(k).zfill(4))
+    for t in range(args.n_timesteps):
+        if 130 <= t <= 160:
+            backend.apply_external_force(sensor.sensor_id, shock)
+
+        if (t + 1) % args.interval == 0 and t >= args.snapshot_from:
+            pose, force = snapshot(sensor, obj_id, path, img_counter,
+                                   mask_seg_to_obj=False,
+                                   show_image=args.show_image)
+            data["time_step"].append(t)
+            data["time"].append(t * config.TIME_STEP)
+            data["position"].append(list(pose[0]))
+            data["orientation"].append(list(pose[1]))
+            data["force"].append(force)
+            data["shock"].append(shock)
+            img_counter += 1
+        backend.step()
+
+    with open(path.joinpath("data.json"), "w") as f:
+        json.dump(data, f)
+    backend.reset()
+    backend.disconnect()
+    return True
+
+
+def main(argv=None):
+    from mmdyn_tpu.cli.exp_1_flat_plane import iter_objects
+
+    args = parser.parse_args(argv)
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+    force_amp = 1000 * args.force
+
+    engine = args.engine
+    if engine == "auto":
+        try:
+            import pybullet  # noqa: F401
+            engine = "pybullet"
+        except ImportError:
+            engine = "analytic"
+
+    total = 0
+    for info in iter_objects(args, engine):
+        total += 1
+        for k in range(args.trial_per_obj):
+            print(f"OBJ #{total} - {k + 1}: {info['obj_name']} "
+                  f"({info['category']}), force_amp={force_amp}")
+            run_trial(args, info, k, engine, force_amp)
+    print(f"done: {total} objects x {args.trial_per_obj} trials")
+
+
+if __name__ == "__main__":
+    main()

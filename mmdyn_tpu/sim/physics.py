@@ -94,6 +94,7 @@ class AnalyticBackend(PhysicsBackend):
         self.bodies: Dict[int, _Body] = {}
         self._next_id = 0
         self._contacts: List[Contact] = []
+        self._ext_forces: Dict[int, np.ndarray] = {}
         self.time = 0.0
         if load_plane:
             # ground plane z=0, body id 0 (like plane100.urdf at id 0)
@@ -148,32 +149,44 @@ class AnalyticBackend(PhysicsBackend):
         self.bodies.clear()
         self._next_id = 0
         self._contacts = []
+        self._ext_forces = {}
         self.time = 0.0
 
     # --- dynamics -----------------------------------------------------------
 
-    def _support_height(self, body: _Body, x, y):
-        """Highest support surface underneath (x, y): ground plane or the top
-        face of any fixed box that covers the point."""
-        z, support_id = 0.0, self.GROUND_ID
-        for bid, other in self.bodies.items():
-            if not other.fixed or other.shape != "box" or other is body:
-                continue
-            # top face of the (assumed axis-aligned) fixed box
-            he = other.size
-            if (abs(x - other.position[0]) <= he[0]
-                    and abs(y - other.position[1]) <= he[1]):
-                top = other.position[2] + he[2]
-                if top > z:
-                    z, support_id = top, bid
-        return z, support_id
+    def apply_external_force(self, body_id, force):
+        """Accumulate a world-frame force for the NEXT step only (pybullet
+        applyExternalForce semantics)."""
+        self._ext_forces.setdefault(body_id, np.zeros(3))
+        self._ext_forces[body_id] = self._ext_forces[body_id] + np.asarray(
+            force, np.float64)
 
-    def _bottom_offset(self, body: _Body):
+    def _reach_along(self, body: _Body, direction):
+        """Support distance of the body along -direction (unit vector)."""
         if body.shape == "sphere":
             return float(body.size[0])
         rot = quat_to_matrix(body.orientation)
-        # support of the oriented box along -z
-        return float(np.sum(np.abs(rot[2]) * body.size))
+        return float(np.sum(np.abs(direction @ rot) * body.size))
+
+    def _support_planes(self, body: _Body):
+        """Candidate contact planes: the ground plane + the top face of every
+        other box (fixed or massive), as (support_id, normal, plane_point,
+        half_extents_or_None, support_rot)."""
+        planes = []
+        if self.GROUND_ID in self.bodies and \
+                self.bodies[self.GROUND_ID].shape == "plane":
+            planes.append((self.GROUND_ID, np.array([0.0, 0.0, 1.0]),
+                           np.zeros(3), None, np.eye(3)))
+        for bid, other in self.bodies.items():
+            if other.shape != "box" or other is body:
+                continue
+            rot = quat_to_matrix(other.orientation)
+            n = rot[:, 2]
+            if n[2] < 0:
+                n = -n
+            plane_pt = other.position + n * other.size[2]
+            planes.append((bid, n, plane_pt, other.size[:2], rot))
+        return planes
 
     def step(self):
         dt = self.time_step
@@ -181,31 +194,43 @@ class AnalyticBackend(PhysicsBackend):
         for bid, b in self.bodies.items():
             if b.fixed or b.shape == "plane" or b.mass <= 0:
                 continue
-            b.velocity = b.velocity + self.gravity * dt
+            force = self._ext_forces.pop(bid, None)
+            accel = self.gravity + (force / b.mass if force is not None else 0.0)
+            b.velocity = b.velocity + accel * dt
             b.position = b.position + b.velocity * dt
 
-            bottom = self._bottom_offset(b)
-            surface, support_id = self._support_height(
-                b, b.position[0], b.position[1])
-            penetration = surface + bottom - b.position[2]
-            if penetration > 0:
-                b.position[2] = surface + bottom
+            for support_id, n, plane_pt, extents, rot in self._support_planes(b):
+                reach = self._reach_along(b, n)
+                d = float(np.dot(b.position - plane_pt, n)) - reach
+                if d >= 0:
+                    continue
+                if extents is not None:
+                    # lateral containment in the support face plane
+                    local = rot.T @ (b.position - (plane_pt - n * 0))
+                    if abs(local[0]) > extents[0] or abs(local[1]) > extents[1]:
+                        continue
+                # resolve penetration along the face normal
+                b.position = b.position - n * d
+                vn = float(np.dot(b.velocity, n))
                 impulse_force = 0.0
-                if b.velocity[2] < 0:
-                    dv = -(1 + self.restitution) * b.velocity[2]
-                    if abs(b.velocity[2]) < 0.5:   # settle small bounces
-                        dv = -b.velocity[2]
-                    b.velocity[2] += dv
+                if vn < 0:
+                    dv = -(1 + self.restitution) * vn
+                    if abs(vn) < 0.5:              # settle small bounces
+                        dv = -vn
+                    b.velocity = b.velocity + n * dv
                     impulse_force = b.mass * dv / dt
-                b.velocity[0] *= self.damping
-                b.velocity[1] *= self.damping
+                # tangential friction damping
+                vn_new = float(np.dot(b.velocity, n))
+                v_t = b.velocity - n * vn_new
+                b.velocity = n * vn_new + v_t * self.damping
                 # at rest the restoring impulse exactly cancels gravity, so it
                 # IS the support force; during impact it is the impact force
-                normal_force = impulse_force if impulse_force > 0 else \
-                    b.mass * (-self.gravity[2])
+                rest_force = b.mass * float(np.dot(-self.gravity, n))
+                normal_force = impulse_force if impulse_force > 0 else rest_force
+                contact_pt = b.position - n * reach
                 self._contacts.append(Contact(
                     body_a=support_id, body_b=bid,
-                    position=(b.position[0], b.position[1], surface),
+                    position=tuple(contact_pt),
                     normal_force=float(normal_force)))
         self.time += dt
 
@@ -386,6 +411,10 @@ class PyBulletBackend(PhysicsBackend):
         pts = self._p.getContactPoints(body_id)
         return [Contact(body_a=c[1], body_b=c[2], position=tuple(c[5]),
                         normal_force=c[9]) for c in pts]
+
+    def apply_external_force(self, body_id, force):
+        self._p.applyExternalForce(body_id, -1, list(force), [0, 0, 0],
+                                   self._p.WORLD_FRAME)
 
     def remove_body(self, body_id):
         self._p.removeBody(body_id)

@@ -50,6 +50,20 @@ class Sensor:
         self._sensor_id = self._create_body(position, orientation, mesh_scale,
                                             mass, color, simple_model)
 
+        # fixed constraint holding the sensor (sensor.py:58-67), PyBullet-only
+        self._sensor_constraint = None
+        if constrained:
+            from mmdyn_tpu.sim.physics import PyBulletBackend
+            if isinstance(backend, PyBulletBackend):
+                p = backend.pybullet
+                self._sensor_constraint = p.createConstraint(
+                    parentBodyUniqueId=self._sensor_id, parentLinkIndex=-1,
+                    childBodyUniqueId=-1, childLinkIndex=-1,
+                    jointType=p.JOINT_FIXED, jointAxis=[0, 0, 0],
+                    parentFramePosition=[0, 0, 0],
+                    childFramePosition=[0, 0, 0],
+                    childFrameOrientation=[0, 0, 0])
+
         self._camera = Camera(width=image_width, height=image_height,
                               camera_up_vector=camera_up_vector,
                               backend=backend)
@@ -79,12 +93,13 @@ class Sensor:
                               mesh_scale=mesh_scale, mass=mass,
                               color=[x for x in color] + [1.0],
                               virtual_links=self._virtual_links)
-        # analytic: a fixed box with half-extents = size/2 (cube.obj is a unit
-        # cube scaled by mesh_scale)
+        # analytic: a box with half-extents = size/2 (cube.obj is a unit cube
+        # scaled by mesh_scale); heavy sensors are pinned, light ones (the
+        # force-perturbation scenario, exp_3 mass=100) stay dynamic
         return self.backend.add_box(
             half_extents=np.asarray(mesh_scale, np.float64) / 2,
             position=position, orientation=orientation, mass=mass,
-            color=color, fixed=True)
+            color=color, fixed=mass >= 1000)
 
     # --- pose tracking ------------------------------------------------------
 
@@ -165,7 +180,13 @@ class Sensor:
                 "Position controller only works with global coordinates."
             new_position = cmd[0:3]
             new_orientation = quat_from_euler(cmd[3:6])
-        self.backend.set_pose(self._sensor_id, new_position, new_orientation)
+        if self._constrained and self._sensor_constraint is not None:
+            self.backend.pybullet.changeConstraint(
+                self._sensor_constraint, new_position, new_orientation,
+                maxForce=self._max_force)
+        else:
+            self.backend.set_pose(self._sensor_id, new_position,
+                                  new_orientation)
 
     # --- sensing ------------------------------------------------------------
 
