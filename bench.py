@@ -30,7 +30,7 @@ sys.path.insert(0, str(REPO))
 METRIC = "cnn-mvae visuotactile+pose seq_modeling train throughput (frames/sec/chip)"
 
 
-def bench_jax(batch, steps, latent):
+def bench_jax(batch, steps, latent, bf16=False):
     import jax
     import jax.numpy as jnp
     from mmdyn_tpu.models import setup_model
@@ -38,11 +38,12 @@ def bench_jax(batch, steps, latent):
     from mmdyn_tpu.train.state import create_train_state
     from mmdyn_tpu.train.steps import make_train_step
 
+    dt = "bfloat16" if bf16 else "float32"
     cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
                         input_type="visuotactile", use_pose=True,
-                        latent_size=latent, batchsize=batch)
+                        latent_size=latent, batchsize=batch, compute_dtype=dt)
     model = setup_model("cnn-mvae", cross_modal=True, latent_size=latent,
-                        use_pose=True)
+                        use_pose=True, compute_dtype=dt)
 
     rng = np.random.default_rng(0)
     seq_len = 2  # seq_modeling consumes frame 0 per sequence; keep host batch slim
@@ -119,6 +120,7 @@ def main():
     ap.add_argument("--torch-batch", type=int, default=16)
     ap.add_argument("--torch-steps", type=int, default=2)
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--bf16", action="store_true", default=False)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -128,7 +130,8 @@ def main():
         import jax
         jax.config.update("jax_platform_name", args.platform)
 
-    fps, step_time, loss = bench_jax(args.batch, args.steps, args.latent)
+    fps, step_time, loss = bench_jax(args.batch, args.steps, args.latent,
+                                     bf16=args.bf16)
     print(f"# jax: {fps:.1f} frames/s  ({step_time*1e3:.2f} ms/step, "
           f"batch {args.batch}, loss {loss:.1f})", file=sys.stderr)
 

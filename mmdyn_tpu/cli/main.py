@@ -62,6 +62,8 @@ def build_parser():
     parser.add_argument("--no-tensorboard", action="store_true", default=False)
     parser.add_argument("--platform", default=None, type=str,
                         help="Force a JAX platform (e.g. cpu)")
+    parser.add_argument("--bf16", action="store_true", default=False,
+                        help="bfloat16 matmul/conv inputs (f32 accumulate)")
     return parser
 
 
@@ -96,6 +98,7 @@ def main(argv=None):
         optimizer=args.optimizer,
         batchsize=args.batchsize,
         num_epochs=args.num_epochs,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     mesh = make_mesh(args.num_devices) if args.num_devices else None
 

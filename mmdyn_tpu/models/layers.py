@@ -73,6 +73,23 @@ class TrainBatchNorm(nn.Module):
         return (x - mean) * inv * scale + bias
 
 
+def _cast_compute(x, kernel, compute_dtype):
+    """Cast conv/matmul operands to the compute dtype (bfloat16 feeds the MXU
+    at full rate; the MXU accumulates in float32 internally). Mixed-dtype
+    operands break the conv transpose (grad) rule, so both operands and the
+    output share the compute dtype; callers upcast the result via
+    ``_uncast``."""
+    if compute_dtype is None or compute_dtype == "float32":
+        return x, kernel
+    dt = jnp.dtype(compute_dtype)
+    return x.astype(dt), kernel.astype(dt)
+
+
+def _uncast(y):
+    """Return conv/matmul output in float32 for the elementwise path."""
+    return y.astype(jnp.float32) if y.dtype != jnp.float32 else y
+
+
 class Conv2d(nn.Module):
     """Conv with torch-style explicit (stride, padding) ints, NHWC/HWIO."""
 
@@ -81,22 +98,24 @@ class Conv2d(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         k = self.kernel_size
         kernel = self.param(
-            "kernel", torch_kernel_init, (k, k, in_ch, self.features), x.dtype
+            "kernel", torch_kernel_init, (k, k, in_ch, self.features), jnp.float32
         )
+        xc, kc = _cast_compute(x, kernel, self.compute_dtype)
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            xc,
+            kc,
             window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
+        y = _uncast(y)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_ch * k * k), (self.features,))
             y = y + bias
@@ -111,6 +130,7 @@ class ConvTranspose2d(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -118,17 +138,18 @@ class ConvTranspose2d(nn.Module):
         k = self.kernel_size
         pad = k - 1 - self.padding
         kernel = self.param(
-            "kernel", torch_kernel_init, (k, k, in_ch, self.features), x.dtype
+            "kernel", torch_kernel_init, (k, k, in_ch, self.features), jnp.float32
         )
+        xc, kc = _cast_compute(x, kernel, self.compute_dtype)
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            xc,
+            kc,
             window_strides=(1, 1),
             padding=[(pad, pad)] * 2,
             lhs_dilation=(self.stride, self.stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
+        y = _uncast(y)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(self.features * k * k), (self.features,))
             y = y + bias
@@ -140,12 +161,17 @@ class Dense(nn.Module):
 
     features: int
     use_bias: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
-        kernel = self.param("kernel", torch_kernel_init, (in_dim, self.features), x.dtype)
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+        kernel = self.param("kernel", torch_kernel_init, (in_dim, self.features),
+                            jnp.float32)
+        xc, kc = _cast_compute(x, kernel, self.compute_dtype)
+        y = _uncast(jnp.dot(xc, kc, preferred_element_type=jnp.float32)
+                    if self.compute_dtype == "float32"
+                    else jnp.dot(xc, kc))
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_dim), (self.features,))
             y = y + bias
@@ -158,12 +184,14 @@ class Mlp(nn.Module):
 
     sizes: Sequence[int]          # hidden + output sizes (input inferred)
     activation: str = "relu"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         act = {"relu": jax.nn.relu, "swish": swish}[self.activation]
         for j, size in enumerate(self.sizes):
-            x = Dense(size, name=f"linear_{j}")(x)
+            x = Dense(size, name=f"linear_{j}",
+                      compute_dtype=self.compute_dtype)(x)
             if j < len(self.sizes) - 1:
                 x = act(x)
         return x

@@ -22,22 +22,28 @@ class Regressor(nn.Module):
     conditional: bool = False
     condition_dim: Optional[int] = None
     dropout_rate: float = DROPOUT_RATE
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, c=None):
-        x = Conv2d(32, 4, 2, 1, use_bias=False, name="conv_0")(x)
+        dt = self.compute_dtype
+        x = Conv2d(32, 4, 2, 1, use_bias=False, name="conv_0",
+                   compute_dtype=dt)(x)
         x = swish(x)
-        x = Conv2d(64, 4, 2, 1, use_bias=False, name="conv_1")(x)
+        x = Conv2d(64, 4, 2, 1, use_bias=False, name="conv_1",
+                   compute_dtype=dt)(x)
         x = TrainBatchNorm(name="bn_1")(x)
         x = swish(x)
-        x = Conv2d(128, 4, 2, 1, use_bias=False, name="conv_2")(x)
+        x = Conv2d(128, 4, 2, 1, use_bias=False, name="conv_2",
+                   compute_dtype=dt)(x)
         x = TrainBatchNorm(name="bn_2")(x)
         x = swish(x)
-        x = Conv2d(256, 4, 1, 0, use_bias=False, name="conv_3")(x)
+        x = Conv2d(256, 4, 1, 0, use_bias=False, name="conv_3",
+                   compute_dtype=dt)(x)
         x = TrainBatchNorm(name="bn_3")(x)
         x = swish(x)
         x = jnp.reshape(x, (x.shape[0], -1))
-        x = Dense(512, name="fc")(x)
+        x = Dense(512, name="fc", compute_dtype=dt)(x)
         x = swish(x)
         x = nn.Dropout(self.dropout_rate, deterministic=False)(x)
 
@@ -46,8 +52,8 @@ class Regressor(nn.Module):
                 c = c[:, None]
             x = jnp.concatenate([x, c.astype(x.dtype)], axis=-1)
 
-        x = Dense(256, name="out_0")(x)
+        x = Dense(256, name="out_0", compute_dtype=dt)(x)
         x = jax.nn.relu(x)
-        x = Dense(256, name="out_1")(x)
+        x = Dense(256, name="out_1", compute_dtype=dt)(x)
         x = jax.nn.relu(x)
-        return Dense(self.out_dim, name="out_2")(x)
+        return Dense(self.out_dim, name="out_2", compute_dtype=dt)(x)

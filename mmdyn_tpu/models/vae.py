@@ -77,36 +77,44 @@ class Encoder(nn.Module):
     categorical_conditions: bool = False
     condition_dim: Optional[int] = None
     dropout_rate: float = DROPOUT_RATE
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, c=None):
+        dt = self.compute_dtype
         if self.architecture == "cnn":
-            x = Conv2d(32, 4, 2, 1, use_bias=False, name="conv_0")(x)
+            x = Conv2d(32, 4, 2, 1, use_bias=False, name="conv_0",
+                       compute_dtype=dt)(x)
             x = swish(x)
-            x = Conv2d(64, 4, 2, 1, use_bias=False, name="conv_1")(x)
+            x = Conv2d(64, 4, 2, 1, use_bias=False, name="conv_1",
+                       compute_dtype=dt)(x)
             x = TrainBatchNorm(name="bn_1")(x)
             x = swish(x)
-            x = Conv2d(128, 4, 2, 1, use_bias=False, name="conv_2")(x)
+            x = Conv2d(128, 4, 2, 1, use_bias=False, name="conv_2",
+                       compute_dtype=dt)(x)
             x = TrainBatchNorm(name="bn_2")(x)
             x = swish(x)
-            x = Conv2d(256, 4, 1, 0, use_bias=False, name="conv_3")(x)
+            x = Conv2d(256, 4, 1, 0, use_bias=False, name="conv_3",
+                       compute_dtype=dt)(x)
             x = TrainBatchNorm(name="bn_3")(x)
             x = swish(x)
             x = jnp.reshape(x, (x.shape[0], -1))  # (B, 5*5*256)
-            x = Dense(512, name="fc")(x)
+            x = Dense(512, name="fc", compute_dtype=dt)(x)
             x = swish(x)
             x = nn.Dropout(self.dropout_rate, deterministic=False)(x)
         else:
             x = jnp.reshape(x, (x.shape[0], -1))
-            x = Mlp(self.layer_sizes, activation="relu", name="fc_net")(x)
+            x = Mlp(self.layer_sizes, activation="relu", name="fc_net",
+                    compute_dtype=dt)(x)
             # reference mlp() ends with Identity, then an extra activation-free
             # stack; heads read the last hidden layer (vae.py:218-222)
 
         if self.conditional:
             x = _concat_condition(x, c, self.categorical_conditions, self.condition_dim)
 
-        means = Dense(self.latent_size, name="linear_means")(x)
-        log_vars = Dense(self.latent_size, name="linear_log_var")(x)
+        means = Dense(self.latent_size, name="linear_means", compute_dtype=dt)(x)
+        log_vars = Dense(self.latent_size, name="linear_log_var",
+                         compute_dtype=dt)(x)
         return means, log_vars
 
 
@@ -120,30 +128,37 @@ class Decoder(nn.Module):
     conditional: bool = False
     categorical_conditions: bool = False
     condition_dim: Optional[int] = None
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, z, c=None):
+        dt = self.compute_dtype
         if self.conditional:
             z = _concat_condition(z, c, self.categorical_conditions, self.condition_dim)
 
         if self.architecture == "cnn":
-            h = Dense(256 * 5 * 5, name="upsample")(z)
+            h = Dense(256 * 5 * 5, name="upsample", compute_dtype=dt)(z)
             h = swish(h)
             h = jnp.reshape(h, (h.shape[0], 5, 5, 256))
-            h = ConvTranspose2d(128, 4, 1, 0, use_bias=False, name="deconv_0")(h)
+            h = ConvTranspose2d(128, 4, 1, 0, use_bias=False, name="deconv_0",
+                                compute_dtype=dt)(h)
             h = TrainBatchNorm(name="bn_0")(h)
             h = swish(h)
-            h = ConvTranspose2d(64, 4, 2, 1, use_bias=False, name="deconv_1")(h)
+            h = ConvTranspose2d(64, 4, 2, 1, use_bias=False, name="deconv_1",
+                                compute_dtype=dt)(h)
             h = TrainBatchNorm(name="bn_1")(h)
             h = swish(h)
-            h = ConvTranspose2d(32, 4, 2, 1, use_bias=False, name="deconv_2")(h)
+            h = ConvTranspose2d(32, 4, 2, 1, use_bias=False, name="deconv_2",
+                                compute_dtype=dt)(h)
             h = TrainBatchNorm(name="bn_2")(h)
             h = swish(h)
-            h = ConvTranspose2d(3, 4, 2, 1, use_bias=False, name="deconv_3")(h)
+            h = ConvTranspose2d(3, 4, 2, 1, use_bias=False, name="deconv_3",
+                                compute_dtype=dt)(h)
             return h  # logits
         else:
             return Mlp(tuple(self.layer_sizes) + (self.output_dim,),
-                       activation="relu", name="deconv_net")(z)
+                       activation="relu", name="deconv_net",
+                       compute_dtype=dt)(z)
 
 
 class VAE(nn.Module):
@@ -157,6 +172,7 @@ class VAE(nn.Module):
     conditional: bool = False
     categorical_conditions: bool = False
     condition_dim: Optional[int] = None
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.encoder = Encoder(
@@ -167,6 +183,7 @@ class VAE(nn.Module):
             conditional=self.conditional,
             categorical_conditions=self.categorical_conditions,
             condition_dim=self.condition_dim,
+            compute_dtype=self.compute_dtype,
         )
         self.decoder = Decoder(
             latent_size=self.latent_size,
@@ -176,6 +193,7 @@ class VAE(nn.Module):
             conditional=self.conditional,
             categorical_conditions=self.categorical_conditions,
             condition_dim=self.condition_dim,
+            compute_dtype=self.compute_dtype,
         )
 
     def __call__(self, x, c=None):
@@ -210,6 +228,7 @@ class MVAE(nn.Module):
     condition_dim: Optional[int] = None
     architecture: str = "cnn"
     dropout_rate: float = DROPOUT_RATE
+    compute_dtype: str = "float32"
 
     def setup(self):
         assert self.architecture != "mlp", "MVAE is not implemented with MLP"
@@ -219,6 +238,7 @@ class MVAE(nn.Module):
             conditional=self.conditional,
             categorical_conditions=self.categorical_conditions,
             condition_dim=self.condition_dim,
+            compute_dtype=self.compute_dtype,
         )
         self.visual_encoder = Encoder(dropout_rate=self.dropout_rate, **img_kwargs)
         self.visual_decoder = Decoder(**img_kwargs)
@@ -229,10 +249,12 @@ class MVAE(nn.Module):
             # vae.py:118-123)
             self.pose_encoder = Encoder(
                 latent_size=self.latent_size, architecture="mlp",
-                input_dim=7, layer_sizes=(512, 512))
+                input_dim=7, layer_sizes=(512, 512),
+                compute_dtype=self.compute_dtype)
             self.pose_decoder = Decoder(
                 latent_size=self.latent_size, architecture="mlp",
-                output_dim=7, layer_sizes=(512, 512))
+                output_dim=7, layer_sizes=(512, 512),
+                compute_dtype=self.compute_dtype)
 
     # --- single-modality primitives (used by the subset-vectorised problem
     # layer; each runs encoder BatchNorm/Dropout exactly once per step) ---

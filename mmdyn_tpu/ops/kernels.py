@@ -1,0 +1,177 @@
+"""Fused Pallas kernels for the latent pathway.
+
+``fused_poe_reparam``: for all K modality subsets at once, compute the
+product-of-experts posterior (masked precision fusion, reference
+vae.py:304-318 semantics including the double epsilon) AND the
+reparameterised sample z = pd_mu + noise * exp(0.5 * pd_logvar) in a single
+VMEM pass. The masked per-subset reduction over experts is expressed as a
+(K, M) x (M, Bt*D) matmul so it rides the MXU.
+
+The backward pass is analytic (derived below) and runs as one fused XLA
+computation — Pallas forward, XLA backward is the right split at these sizes.
+
+Falls back to the pure-jnp path off-TPU (the Pallas TPU lowering is
+unavailable on CPU; the interpreter is only used in tests).
+
+Gradient derivation (per subset k, expert m, element (b, d); s = 0/1 mask):
+    var_m  = exp(lv_m) + eps
+    T_m    = s_km / (var_m + eps)
+    S      = sum_m T_m                    pd_var = 1/S
+    pd_mu  = sum_m mu_m T_m / S           pd_lv  = log(pd_var + eps)
+    z      = pd_mu + n * exp(0.5 pd_lv)
+backward, given upstream dz, dpd_mu_up, dpd_lv_up:
+    dpd_mu = dz + dpd_mu_up
+    dpd_lv = 0.5 * dz * n * exp(0.5 pd_lv) + dpd_lv_up
+    dS     = -dpd_mu * pd_mu / S - dpd_lv / (S + eps * S^2)
+    dT_m   = dpd_mu * mu_m / S + dS
+    dmu_m  = sum_k dpd_mu_k * T_mk / S_k
+    dlv_m  = sum_k -dT_mk * T_mk / (var_m + eps) * exp(lv_m)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mmdyn_tpu.config import POE_EPS
+
+
+def _use_pallas():
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# reference jnp implementation (also the off-TPU fallback)
+# ---------------------------------------------------------------------------
+
+def _poe_reparam_jnp(mu, logvar, mask, noise, eps=POE_EPS):
+    """mu/logvar: (M, B, D); mask: (K, M); noise: (K, B, D).
+
+    Returns (z, pd_mu, pd_logvar), each (K, B, D).
+    """
+    var = jnp.exp(logvar) + eps                    # (M, B, D)
+    t = 1.0 / (var + eps)
+    m_, b, d = mu.shape
+    k = mask.shape[0]
+    t_flat = t.reshape(m_, b * d)
+    a_flat = (mu * t).reshape(m_, b * d)
+    s = (mask @ t_flat).reshape(k, b, d)
+    a = (mask @ a_flat).reshape(k, b, d)
+    pd_mu = a / s
+    pd_var = 1.0 / s
+    pd_lv = jnp.log(pd_var + eps)
+    z = pd_mu + noise * jnp.exp(0.5 * pd_lv)
+    return z, pd_mu, pd_lv
+
+
+# ---------------------------------------------------------------------------
+# pallas forward
+# ---------------------------------------------------------------------------
+
+def _poe_kernel(mask_ref, mu_ref, lv_ref, noise_ref, z_ref, pdmu_ref,
+                pdlv_ref, *, eps):
+    mu = mu_ref[:]                                  # (M, Bt, D)
+    lv = lv_ref[:]
+    noise = noise_ref[:]                            # (K, Bt, D)
+    mask = mask_ref[:]                              # (K, M)
+
+    m_, bt, d = mu.shape
+    k = mask.shape[0]
+    var = jnp.exp(lv) + eps
+    t = 1.0 / (var + eps)
+    t_flat = jnp.reshape(t, (m_, bt * d))
+    a_flat = jnp.reshape(mu * t, (m_, bt * d))
+    s = jnp.dot(mask, t_flat, preferred_element_type=jnp.float32)
+    a = jnp.dot(mask, a_flat, preferred_element_type=jnp.float32)
+    s = jnp.reshape(s, (k, bt, d))
+    a = jnp.reshape(a, (k, bt, d))
+    pd_mu = a / s
+    pd_lv = jnp.log(1.0 / s + eps)
+    pdmu_ref[:] = pd_mu
+    pdlv_ref[:] = pd_lv
+    z_ref[:] = pd_mu + noise * jnp.exp(0.5 * pd_lv)
+
+
+def _poe_reparam_pallas(mu, logvar, mask, noise, eps=POE_EPS, block_b=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m_, b, d = mu.shape
+    k = mask.shape[0]
+    block_b = block_b or min(b, max(1, 2 ** 20 // (d * (2 * m_ + 3 * k) * 4) * 8))
+    block_b = min(b, max(8, block_b))
+    while b % block_b:
+        block_b //= 2
+    grid = (b // block_b,)
+
+    out_shape = [jax.ShapeDtypeStruct((k, b, d), jnp.float32)] * 3
+    expert_spec = pl.BlockSpec((m_, block_b, d), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)
+    subset_spec = pl.BlockSpec((k, block_b, d), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((k, m_), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    z, pd_mu, pd_lv = pl.pallas_call(
+        functools.partial(_poe_kernel, eps=eps),
+        grid=grid,
+        in_specs=[mask_spec, expert_spec, expert_spec, subset_spec],
+        out_specs=[subset_spec] * 3,
+        out_shape=out_shape,
+    )(mask, mu, logvar, noise)
+    return z, pd_mu, pd_lv
+
+
+# ---------------------------------------------------------------------------
+# custom vjp wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_poe_reparam(mu, logvar, mask, noise):
+    """(M,B,D) experts + (K,M) subset mask + (K,B,D) noise ->
+    (z, pd_mu, pd_logvar) each (K,B,D). Pallas on TPU, jnp elsewhere."""
+    if _use_pallas():
+        return _poe_reparam_pallas(mu, logvar, mask, noise)
+    return _poe_reparam_jnp(mu, logvar, mask, noise)
+
+
+def _fwd(mu, logvar, mask, noise):
+    out = fused_poe_reparam(mu, logvar, mask, noise)
+    z, pd_mu, pd_lv = out
+    return out, (mu, logvar, mask, noise, pd_mu, pd_lv)
+
+
+def _bwd(res, grads):
+    eps = POE_EPS
+    mu, logvar, mask, noise, pd_mu, pd_lv = res
+    dz, dpdmu_up, dpdlv_up = grads
+
+    var = jnp.exp(logvar) + eps                    # (M, B, D)
+    t_all = 1.0 / (var + eps)
+    # S per subset: recompute (cheap) — (K, B, D)
+    m_, b, d = mu.shape
+    k = mask.shape[0]
+    s = (mask @ t_all.reshape(m_, b * d)).reshape(k, b, d)
+
+    dpd_mu = dz + dpdmu_up
+    dpd_lv = 0.5 * dz * noise * jnp.exp(0.5 * pd_lv) + dpdlv_up
+
+    ds = -dpd_mu * pd_mu / s - dpd_lv / (s + eps * jnp.square(s))
+    # dT_{km} = dpd_mu_k * mu_m / S_k + dS_k ; contract over k with mask
+    # dmu_m = sum_k mask_km * dpd_mu_k * T_m / S_k
+    w = (dpd_mu / s).reshape(k, b * d)             # (K, B*D)
+    dmu = (mask.T @ w).reshape(m_, b, d) * t_all
+    # dT contribution to logvar:
+    #   dT_km = mask_km * (dpd_mu_k * mu_m / S_k + dS_k)
+    #   dlv_m = sum_k dT_km * (-T_m / (var_m + eps)) * exp(lv_m)
+    ds_flat = ds.reshape(k, b * d)
+    sum_ds = (mask.T @ ds_flat).reshape(m_, b, d)        # sum_k mask*dS
+    sum_w = (mask.T @ w).reshape(m_, b, d)               # sum_k mask*dpd_mu/S
+    dT = sum_w * mu + sum_ds
+    dlv = dT * (-t_all / (var + eps)) * jnp.exp(logvar)
+    return dmu, dlv, None, None
+
+
+fused_poe_reparam.defvjp(_fwd, _bwd)

@@ -34,6 +34,7 @@ class ProblemConfig:
     num_epochs: int = 100
     condition_dim: Optional[int] = None
     categorical_conditions: bool = False
+    compute_dtype: str = "float32"   # "bfloat16" feeds the MXU at full rate
 
     def __post_init__(self):
         assert self.problem_type in cfg_mod.PROBLEM_TYPES, "Invalid problem type."

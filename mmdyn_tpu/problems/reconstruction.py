@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from mmdyn_tpu.ops.kernels import fused_poe_reparam
 from mmdyn_tpu.ops.losses import bce_with_logits, kl_divergence, mse
 from mmdyn_tpu.ops.poe import masked_poe, reparametrize
 
@@ -108,8 +109,11 @@ def mvae_evaluate(model, variables, rng, inputs, targets, kl_weight, cfg):
     lv_m = jnp.stack(experts_lv)
 
     subsets = jnp.array(SUBSETS_POSE if use_pose else SUBSETS_NO_POSE)
-    pd_mu, pd_lv = jax.vmap(masked_poe, in_axes=(None, None, 0))(mu_m, lv_m, subsets)
-    z = reparametrize(k_rep, pd_mu, pd_lv)     # (K, B, D), independent per subset
+    # fused PoE + reparameterisation over all subsets (Pallas on TPU); the
+    # (K, B, D) noise matches what reparametrize(k_rep, ...) would draw
+    noise = jax.random.normal(k_rep, (subsets.shape[0],) + mu_v.shape,
+                              mu_v.dtype)
+    z, pd_mu, pd_lv = fused_poe_reparam(mu_m, lv_m, subsets, noise)
 
     vis_idx = jnp.array(VIS_LOSS_POSE if use_pose else VIS_LOSS_NO_POSE)
     tac_idx = jnp.array(TAC_LOSS_POSE if use_pose else TAC_LOSS_NO_POSE)

@@ -101,13 +101,15 @@ class Problem:
         if cfg.problem_type == "regression":
             return setup_model(cfg.model_name, out_dim=7,
                                conditional=cfg.conditional,
-                               condition_dim=cfg.condition_dim)
+                               condition_dim=cfg.condition_dim,
+                               compute_dtype=cfg.compute_dtype)
         kwargs = dict(
             latent_size=cfg.latent_size,
             architecture=cfg.model_name.split("-")[0],
             conditional=cfg.conditional,
             categorical_conditions=cfg.categorical_conditions,
             condition_dim=cfg.condition_dim,
+            compute_dtype=cfg.compute_dtype,
         )
         if cfg.is_mvae:
             kwargs["use_pose"] = cfg.use_pose

@@ -39,8 +39,13 @@ def test_mvae_subset_elbo_matches_torch_reference(monkeypatch, use_pose):
     kwargs = {"pose": jnp.array(xp)} if use_pose else {}
     variables = model.init(_rngs(), *args, **kwargs)
 
-    # noise-free reparam in our path
+    # noise-free reparam in our path (kill both the composed and fused routes)
     monkeypatch.setattr(recon_mod, "reparametrize", lambda rng, mu, lv: mu)
+    real_fused = recon_mod.fused_poe_reparam
+    monkeypatch.setattr(
+        recon_mod, "fused_poe_reparam",
+        lambda mu, lv, mask, noise: real_fused(mu, lv, mask,
+                                               jnp.zeros_like(noise)))
 
     cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
                         input_type="visuotactile", use_pose=use_pose,
