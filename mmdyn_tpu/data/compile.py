@@ -86,8 +86,12 @@ def _to_train_res(np_img):
 
 
 def compile_dataset(dataset_path, strict_parity=True, seed=None,
-                    compiled_name=COMPILED_NAME, verbose=True):
+                    compiled_name=COMPILED_NAME, verbose=True, engine="auto"):
     """Compile ``<dataset_path>/dataset/**`` dumps into a packed npz.
+
+    ``engine``: 'pil' (reference-exact Python path), 'native' (the C++ ingest
+    library — OpenMP-parallel PNG decode + crop + resample, ~identical output
+    within uint8 rounding), or 'auto' (native when it builds, else PIL).
 
     Returns the path of the written npz.
     """
@@ -133,74 +137,90 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
 
     sv = "sv" in str(dataset_path)
 
+    if engine == "auto":
+        from mmdyn_tpu.data import native
+        use_native = native.available()
+    elif engine == "native":
+        from mmdyn_tpu.data import native
+        assert native.available(), "native ingest library failed to build"
+        use_native = True
+    else:
+        use_native = False
+
+    # the reference only flushes a sequence when the next one begins, so the
+    # final sequence of the glob order is never emitted (datasets.py:210-224)
+    n_total = len(data_files)
+    n_emit = (n_total - 1) if strict_parity else n_total
+
     seqs = {k: [] for k in ("visual", "tactile", "pose", "avail", "shock",
                             "seg", "final_visual", "final_tactile", "final_pose")}
-    cur = {k: [] for k in ("visual", "tactile", "pose", "avail", "shock", "seg")}
-    cur_final = {}
 
-    def flush():
+    def compile_sequence_pil(frame_slice):
+        vis, tac, seg, avail = [], [], [], []
+        for vis_p, tac_p, seg_p in zip(visual_images[frame_slice],
+                                       tactile_images[frame_slice],
+                                       seg_images[frame_slice]):
+            seg_np_original = _load_image(seg_p, resize=False)
+            bbox = _bounding_box(seg_np_original)
+            seg_np = _load_image(seg_p, bounding_box=bbox)
+            seg_np = np.where(seg_np == 1, 0, seg_np)
+            visual_np = _load_image(vis_p, bounding_box=bbox)
+            tactile_np = _load_image(tac_p, bounding_box=bbox)
+            avail.append(np.array([
+                float(np.std(visual_np, axis=(0, 1)).any()),
+                float(np.std(tactile_np, axis=(0, 1)).any())], np.float32))
+            vis.append(_to_train_res(visual_np))
+            tac.append(_to_train_res(tactile_np))
+            seg.append(_to_train_res(seg_np.astype(np.uint8)))
+        return (np.stack(vis), np.stack(tac), np.stack(seg), np.stack(avail))
+
+    def compile_final_pil(s):
+        final_seg_np = _load_image(final_seg_images[s], resize=False)
+        bbox = _bounding_box(final_seg_np)
+        return (_to_train_res(_load_image(final_visual_images[s],
+                                          bounding_box=bbox)),
+                _to_train_res(_load_image(final_tactile_images[s],
+                                          bounding_box=bbox)))
+
+    for s in range(n_emit):
+        info = infos[s]
+        frame_slice = slice(s * seq_length, (s + 1) * seq_length)
+        if use_native:
+            from mmdyn_tpu.data import native
+            vis64, tac64, seg64, avail = native.compile_frames(
+                seg_images[frame_slice], visual_images[frame_slice],
+                tactile_images[frame_slice])
+            fvis, ftac = native.compile_final(
+                final_seg_images[s], final_visual_images[s],
+                final_tactile_images[s])
+        else:
+            vis64, tac64, seg64, avail = compile_sequence_pil(frame_slice)
+            fvis, ftac = compile_final_pil(s)
+
+        pose = np.concatenate((np.asarray(info["position"]),
+                               np.asarray(info["orientation"])), axis=1)
+        pose = _minmax_normalize(pose, pose_min, pose_max).astype(np.float32)
+        final_pose = _minmax_normalize(
+            np.concatenate((info["position"][-1], info["orientation"][-1])),
+            pose_min, pose_max).astype(np.float32)
+        if has_shock:
+            shock = np.asarray(info.get("shock", np.zeros((seq_length, 1))),
+                               dtype=np.float64).reshape(seq_length, -1)
+            shock = _minmax_normalize(shock, shock_min, shock_max).astype(np.float32)
+        else:
+            shock = np.zeros((seq_length, shock_dim), np.float32)
+
         reps = (seq_length // 5) if sv else 1  # datasets.py:213-220 net effect
         for _ in range(reps):
-            for k in ("visual", "tactile", "pose", "avail", "shock", "seg"):
-                seqs[k].append(np.stack(cur[k]) if cur[k] else None)
-            for k in ("final_visual", "final_tactile", "final_pose"):
-                seqs[k].append(cur_final[k])
-
-    n_emitted = 0
-    for i, (vis_p, tac_p, seg_p) in enumerate(
-            zip(visual_images, tactile_images, seg_images)):
-        seq_counter = i // seq_length
-        t = i % seq_length
-
-        if t == 0:
-            if seq_counter != 0:
-                flush()
-                n_emitted += 1
-                cur = {k: [] for k in cur}
-            info = infos[seq_counter]
-            final_seg_np = _load_image(final_seg_images[seq_counter], resize=False)
-            bbox = _bounding_box(final_seg_np)
-            cur_final = {
-                "final_visual": _to_train_res(
-                    _load_image(final_visual_images[seq_counter], bounding_box=bbox)),
-                "final_tactile": _to_train_res(
-                    _load_image(final_tactile_images[seq_counter], bounding_box=bbox)),
-                "final_pose": _minmax_normalize(
-                    np.concatenate((info["position"][-1], info["orientation"][-1])),
-                    pose_min, pose_max).astype(np.float32),
-            }
-
-        seg_np_original = _load_image(seg_p, resize=False)
-        bbox = _bounding_box(seg_np_original)
-        seg_np = _load_image(seg_p, bounding_box=bbox)
-        seg_np = np.where(seg_np == 1, 0, seg_np)
-        visual_np = _load_image(vis_p, bounding_box=bbox)
-        tactile_np = _load_image(tac_p, bounding_box=bbox)
-
-        pose = np.concatenate((info["position"][t], info["orientation"][t]))
-        pose = _minmax_normalize(pose, pose_min, pose_max)
-
-        visual_std = np.std(visual_np, axis=(0, 1))
-        tactile_std = np.std(tactile_np, axis=(0, 1))
-        avail = np.array([float(visual_std.any()), float(tactile_std.any())])
-
-        if has_shock:
-            shock = np.asarray(info["shock"][t], dtype=np.float64).reshape(-1)
-            shock = _minmax_normalize(shock, shock_min, shock_max)
-        else:
-            shock = np.zeros(shock_dim)
-
-        cur["visual"].append(_to_train_res(visual_np))
-        cur["tactile"].append(_to_train_res(tactile_np))
-        cur["pose"].append(pose.astype(np.float32))
-        cur["avail"].append(avail.astype(np.float32))
-        cur["shock"].append(shock.astype(np.float32))
-        cur["seg"].append(_to_train_res(seg_np.astype(np.uint8)))
-
-    if not strict_parity and cur["visual"]:
-        # fixed behaviour: flush the final sequence too
-        flush()
-        n_emitted += 1
+            seqs["visual"].append(vis64)
+            seqs["tactile"].append(tac64)
+            seqs["seg"].append(seg64)
+            seqs["avail"].append(avail)
+            seqs["pose"].append(pose)
+            seqs["shock"].append(shock)
+            seqs["final_visual"].append(fvis)
+            seqs["final_tactile"].append(ftac)
+            seqs["final_pose"].append(final_pose)
 
     n = len(seqs["visual"])
     if verbose:

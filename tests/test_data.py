@@ -62,6 +62,43 @@ class TestCompileMath:
             assert z["shock"].shape == (2, 5, 1)
 
 
+class TestNativeIngest:
+    def test_native_matches_pil_compile(self, tmp_path):
+        """C++ ingest output == PIL path within uint8 rounding (<=1)."""
+        from mmdyn_tpu.data import native
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        make_synthetic_dumps(tmp_path, n_sequences=3, seq_length=4,
+                             image_size=(120, 160))
+        a = compile_dataset(tmp_path, verbose=False, engine="pil",
+                            compiled_name="a.npz", seed=0)
+        b = compile_dataset(tmp_path, verbose=False, engine="native",
+                            compiled_name="b.npz", seed=0)
+        with np.load(a) as za, np.load(b) as zb:
+            for k in za.files:
+                if za[k].dtype == np.uint8:
+                    d = np.abs(za[k].astype(int) - zb[k].astype(int))
+                    assert d.max() <= 1, f"{k}: max diff {d.max()}"
+                else:
+                    np.testing.assert_array_equal(za[k], zb[k], err_msg=k)
+
+    def test_native_png_decode_matches_pil(self, tmp_path):
+        from mmdyn_tpu.data import native
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        from PIL import Image
+        rng = np.random.default_rng(0)
+        for shape in ((33, 47, 3), (20, 25)):
+            arr = rng.integers(0, 256, size=shape).astype(np.uint8)
+            p = tmp_path / "x.png"
+            Image.fromarray(arr).save(p)
+            got = native.decode_png(p)
+            want = np.array(Image.open(p))
+            if want.ndim == 2:
+                want = want[:, :, None]
+            np.testing.assert_array_equal(got, want)
+
+
 class TestDatasetSplit:
     def test_split_fractions(self, tmp_path):
         make_compiled_arrays(tmp_path / "compiled_dataset_v2.npz",
