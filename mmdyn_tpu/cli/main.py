@@ -64,6 +64,8 @@ def build_parser():
                         help="Force a JAX platform (e.g. cpu)")
     parser.add_argument("--bf16", action="store_true", default=False,
                         help="bfloat16 matmul/conv inputs (f32 accumulate)")
+    parser.add_argument("--profile-dir", default=None, type=str,
+                        help="Capture a jax.profiler trace of epoch 1 here")
     return parser
 
 
@@ -107,7 +109,7 @@ def main(argv=None):
                       seed=args.seed, mesh=mesh,
                       tensorboard=not args.no_tensorboard,
                       strict_parity=not args.no_strict_parity,
-                      resume=args.resume)
+                      resume=args.resume, profile_dir=args.profile_dir)
 
     # reference saves the argparse namespace next to the run (main.py:69)
     with open(problem.log_dir / "problem.pkl", "wb") as f:

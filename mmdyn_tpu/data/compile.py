@@ -249,3 +249,95 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
     out = root / compiled_name
     np.savez_compressed(out, **packed)
     return out
+
+
+def _color_mask(img_path, crop_size):
+    """HSV-threshold object mask for real STS captures (datasets.py:368-377)."""
+    import cv2
+
+    x, y, w, h = crop_size
+    img = cv2.imread(str(img_path))[y:y + h, x:x + w]
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    lower = np.array([0, 50, 50])
+    upper = np.array([150, 255, 255])
+    return cv2.bitwise_not(cv2.inRange(hsv, lower, upper))
+
+
+def _load_real_image(img_path, mask=None, crop_size=None):
+    """Real-capture load: optional colour-mask + grey fill, 256 resize
+    (datasets.py:318-345 real branch)."""
+    import cv2
+    from PIL import Image
+
+    if mask is None:
+        img = Image.open(img_path)
+    else:
+        assert crop_size is not None
+        x, y, w, h = crop_size
+        img = cv2.imread(str(img_path))[y:y + h, x:x + w]
+        img = cv2.bitwise_and(img, img, mask=mask)
+        img[mask == 0] = [210] * 3
+        img = Image.fromarray(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    img = img.resize((COMPILE_SIZE, COMPILE_SIZE))
+    np_img = np.array(img).copy()
+    if np_img.ndim == 2:
+        np_img = np.repeat(np_img[:, :, np.newaxis], 3, axis=2).astype(np.uint8)
+    img.close()
+    return np_img
+
+
+def compile_real_dataset(dataset_path, seed=None, compiled_name=COMPILED_NAME,
+                         verbose=True, crop_size=(40, 10, 330, 290)):
+    """Compile REAL sensor captures (datasets.py:269-312): per-trial
+    visual/tactile initial+final pairs with colour-mask segmentation of the
+    final frames. Sequence length is 2 (initial -> final)."""
+    root = Path(dataset_path).expanduser()
+    dump_root = root / "dataset"
+    initial_visual = sorted(dump_root.glob("**/visual/initial.png"))
+    initial_tactile = sorted(dump_root.glob("**/tactile/initial.png"))
+    final_visual = sorted(dump_root.glob("**/visual/final.png"))
+    final_tactile = sorted(dump_root.glob("**/tactile/final.png"))
+    assert initial_visual, f"no real captures under {dump_root}"
+    seq_length = 2
+
+    if verbose:
+        print(f"Visual images: {len(initial_visual) * seq_length}, Tactile "
+              f"images: {len(initial_tactile) * seq_length}, Sequences: "
+              f"{len(initial_visual)}, Sequence length: {seq_length}")
+
+    vis_seqs, tac_seqs, fv_list, ft_list = [], [], [], []
+    for i in range(len(initial_visual)):
+        mask = _color_mask(final_visual[i], crop_size)
+        vis = _to_train_res(_load_real_image(initial_visual[i]))
+        tac = _to_train_res(_load_real_image(initial_tactile[i]))
+        fv = _to_train_res(_load_real_image(final_visual[i], mask=mask,
+                                            crop_size=crop_size))
+        ft = _to_train_res(_load_real_image(final_tactile[i], mask=mask,
+                                            crop_size=crop_size))
+        # the real branch stores single-frame sequences (datasets.py:301-302)
+        vis_seqs.append(np.stack([vis]))
+        tac_seqs.append(np.stack([tac]))
+        fv_list.append(fv)
+        ft_list.append(ft)
+
+    n = len(vis_seqs)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    t = vis_seqs[0].shape[0]
+    packed = {
+        "visual": np.stack([vis_seqs[j] for j in order]),
+        "tactile": np.stack([tac_seqs[j] for j in order]),
+        "pose": np.zeros((n, t, 7), np.float32),
+        "avail": np.ones((n, t, 2), np.float32),
+        "seg": np.full((n, t, IMAGE_SIZE, IMAGE_SIZE, 3), 255, np.uint8),
+        "final_visual": np.stack([fv_list[j] for j in order]),
+        "final_tactile": np.stack([ft_list[j] for j in order]),
+        "final_pose": np.zeros((n, 7), np.float32),
+        "seq_length": np.int64(t),
+        "has_shock": np.bool_(False),
+    }
+    out = root / compiled_name
+    np.savez_compressed(out, **packed)
+    if verbose:
+        print(f"Compiled {n} real sequences")
+    return out

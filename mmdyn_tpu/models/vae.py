@@ -197,6 +197,10 @@ class VAE(nn.Module):
         )
 
     def __call__(self, x, c=None):
+        if x.ndim > 2 and self.architecture == "mlp":
+            # replicate vae.py:82-83: view(-1, input_dim) — for image input
+            # this folds channels into the batch axis exactly as torch does
+            x = jnp.reshape(x, (-1, self.input_dim))
         means, log_var = self.encoder(x, c)
         z = reparametrize(self.make_rng("reparam"), means, log_var)
         recon_x = self.decoder(z, c)

@@ -129,6 +129,11 @@ class Sensor:
 
     # --- control ------------------------------------------------------------
 
+    def get_command(self, controller):
+        """Read GUI slider commands (sensor.py:129-138, PyBullet GUI only)."""
+        return [self.backend.pybullet.readUserDebugParameter(c)
+                for c in controller]
+
     def plan_motion(self, speed=40):
         """Random motion planner (sensor.py:140-154)."""
         rand = random.random()

@@ -28,6 +28,7 @@ from mmdyn_tpu.problems.base import ProblemConfig, anneal_kl, make_optimizer
 from mmdyn_tpu.train.checkpoint import (latest_checkpoint, restore_checkpoint,
                                         save_checkpoint)
 from mmdyn_tpu.train.metrics import MetricWriter
+from mmdyn_tpu.train.profiler import StepTimer, trace
 from mmdyn_tpu.train.state import create_train_state
 from mmdyn_tpu.train.steps import make_eval_step, make_sample_fn, make_train_step
 
@@ -37,10 +38,13 @@ class Problem:
 
     def __init__(self, cfg: ProblemConfig, dataset_path, save_name="run",
                  logs_root="./logs", log_dir=None, seed=0, mesh=None,
-                 tensorboard=True, strict_parity=True, resume=False):
+                 tensorboard=True, strict_parity=True, resume=False,
+                 profile_dir=None):
         self.dataset_path = dataset_path
         self.mesh = mesh
         self.seed = seed
+        self.profile_dir = profile_dir
+        self._step_timer = StepTimer()
         self._best_loss = np.inf
         self._start_epoch = 0
         self._logger_dict = defaultdict(list)
@@ -154,13 +158,16 @@ class Problem:
     def _train_epoch(self, epoch, kl_weight):
         n_batches = len(self.train_loader)
         step_losses, perf_acc = [], defaultdict(list)
+        self._step_timer.reset()
         for batch in self._prefetch(self.train_loader):
+            self._step_timer.mark()
             self.state, metrics = self.train_step(
                 self.state, batch, self._next_key(), jnp.float32(kl_weight))
             step_losses.append(metrics["loss"])
             for k, v in metrics.items():
                 if k != "loss":
                     perf_acc[k].append(v)
+        self._step_timer.mark()
         # single host sync per epoch
         step_losses = [float(x) for x in step_losses]
         base_step = epoch * n_batches
@@ -172,6 +179,9 @@ class Problem:
         for k, vs in perf_acc.items():
             self._logger_dict[f"Perf_measure_train/{k}"].append(
                 float(sum(float(v) for v in vs)) / max(n_batches, 1))
+        if self._step_timer.mean_step_time > 0:
+            self._logger_dict["Perf/frames_per_sec"].append(
+                self._step_timer.frames_per_sec(self.cfg.batchsize))
         return train_loss
 
     def _test_epoch(self, epoch, kl_weight):
@@ -237,7 +247,10 @@ class Problem:
         for epoch in range(self._start_epoch, cfg.num_epochs):
             print(f"Epoch: {epoch}")
             kl_weight = anneal_kl(epoch, cfg.annealing_epochs)
-            self._train_epoch(epoch, kl_weight)
+            # profile the second epoch (the first pays compilation)
+            do_profile = self.profile_dir and epoch == self._start_epoch + 1
+            with trace(self.profile_dir if do_profile else None):
+                self._train_epoch(epoch, kl_weight)
             val_loss, aux, batch = self._test_epoch(epoch, kl_weight)
             self._sample(epoch)
             for key in self._logger_dict:
