@@ -38,8 +38,16 @@ import jax.numpy as jnp
 from mmdyn_tpu.config import POE_EPS
 
 
-def _use_pallas():
-    return jax.default_backend() == "tpu"
+def _use_pallas(mu=None):
+    """Pallas path only on TPU and only for lane-aligned shapes — Mosaic
+    rejects the (M, Bt, D) -> (M, Bt*D) shape cast unless D is a multiple of
+    the 128-lane width and the batch tiles align to 8 sublanes."""
+    if jax.default_backend() != "tpu":
+        return False
+    if mu is None:
+        return True
+    _, b, d = mu.shape
+    return d % 128 == 0 and b % 8 == 0
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +140,7 @@ def _poe_reparam_pallas(mu, logvar, mask, noise, eps=POE_EPS, block_b=None):
 def fused_poe_reparam(mu, logvar, mask, noise):
     """(M,B,D) experts + (K,M) subset mask + (K,B,D) noise ->
     (z, pd_mu, pd_logvar) each (K,B,D). Pallas on TPU, jnp elsewhere."""
-    if _use_pallas():
+    if _use_pallas(mu):
         return _poe_reparam_pallas(mu, logvar, mask, noise)
     return _poe_reparam_jnp(mu, logvar, mask, noise)
 

@@ -198,6 +198,16 @@ class Camera:
     # reference-compatible alias (camera.py:352-364)
     get_pybullet_image = get_image
 
+    def get_raytraced_image(self):
+        """Raytraced (rgb, depth, normals, seg). A TODO stub in the reference
+        (camera.py:366-373); delivered here by the analytic raycaster.
+        Requires a backend whose render() supports return_normals (the
+        AnalyticBackend does; Bullet's OpenGL path does not)."""
+        assert self._backend is not None, "camera has no render backend"
+        rgb, depth, seg, normals = self._backend.render(self,
+                                                        return_normals=True)
+        return rgb, depth, normals, seg
+
     # --- IO -----------------------------------------------------------------
 
     def show_image(self, img, RGB=True, save=False, title="Image"):

@@ -247,9 +247,9 @@ class AnalyticBackend(PhysicsBackend):
 
     # --- rendering ------------------------------------------------------------
 
-    def render(self, camera):
+    def render(self, camera, return_normals=False):
         """Raycast RGB/depth/seg through ``camera`` -> (rgb (H,W,4) uint8,
-        depth z_b (H,W) float, seg (H,W) int)."""
+        depth z_b (H,W) float, seg (H,W) int[, normals (H,W,3) float])."""
         h, w = camera.height, camera.width
         eye = camera.camera_eye_position.astype(np.float64)
 
@@ -270,6 +270,7 @@ class AnalyticBackend(PhysicsBackend):
         t_best = np.full(n, np.inf)
         seg = np.full(n, -1, dtype=np.int64)
         rgb = np.zeros((n, 3), dtype=np.float64)
+        normal_map = np.zeros((n, 3), dtype=np.float64) if return_normals else None
         light_dir = np.array([0.3, 0.2, 0.93])
         light_dir = light_dir / np.linalg.norm(light_dir)
 
@@ -289,6 +290,8 @@ class AnalyticBackend(PhysicsBackend):
             rgb[hit] = b.color[None, :] * lambert[:, None]
             seg[hit] = bid
             t_best[hit] = t[hit]
+            if normal_map is not None:
+                normal_map[hit] = normals.T
 
         # depth: eye-space distance along forward -> buffer
         hit_any = np.isfinite(t_best)
@@ -301,6 +304,8 @@ class AnalyticBackend(PhysicsBackend):
         rgba = np.concatenate([
             (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
             np.full((n, 1), 255, np.uint8)], axis=1).reshape(h, w, 4)
+        if return_normals:
+            return rgba, depth, seg.reshape(h, w), normal_map.reshape(h, w, 3)
         return rgba, depth, seg.reshape(h, w)
 
     @staticmethod
