@@ -13,7 +13,13 @@ Prints ONE JSON line:
                backward + Adam), measured in-process at a smaller batch and
                normalised per-frame.
 
-Flags: --batch, --steps, --latent, --skip-torch (vs_baseline=0), --platform.
+Defaults measure the TPU-native production configuration: batch 2048,
+bfloat16 matmul/conv inputs (f32 accumulation), 100 dependency-chained steps
+with a single device sync at the end (per-step wall clock; parity-mode
+training uses f32 and is benchmarked with --no-bf16).
+
+Flags: --batch, --steps, --latent, --skip-torch (vs_baseline=0), --platform,
+--no-bf16.
 """
 
 import argparse
@@ -114,13 +120,14 @@ def bench_torch_cpu(batch, steps, latent):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--latent", type=int, default=256)
     ap.add_argument("--torch-batch", type=int, default=16)
     ap.add_argument("--torch-steps", type=int, default=2)
     ap.add_argument("--skip-torch", action="store_true")
-    ap.add_argument("--bf16", action="store_true", default=False)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
