@@ -207,7 +207,8 @@ def load_decoder(gold: GoldDecoder, p):
         perm = _nhwc_to_nchw_fc_perm()
         # torch upsample output col j (nchw) = flax col perm[j]
         gold.upsample.weight.copy_(torch.tensor(uk[:, perm].T))
-        gold.upsample.bias.copy_(torch.tensor(np.asarray(p["upsample"]["bias"])))
+        gold.upsample.bias.copy_(
+            torch.tensor(np.asarray(p["upsample"]["bias"])[perm]))
         for i, dc in enumerate(deconv_layers):
             k = np.asarray(p[f"deconv_{i}"]["kernel"])  # (kh,kw,in,out)
             # torch ConvT weight (in, out, kh, kw) with spatial flip
