@@ -66,6 +66,8 @@ def build_parser():
                         help="bfloat16 matmul/conv inputs (f32 accumulate)")
     parser.add_argument("--profile-dir", default=None, type=str,
                         help="Capture a jax.profiler trace of epoch 1 here")
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="Rematerialise activations in the backward pass")
     return parser
 
 
@@ -101,6 +103,7 @@ def main(argv=None):
         batchsize=args.batchsize,
         num_epochs=args.num_epochs,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat,
     )
     mesh = make_mesh(args.num_devices) if args.num_devices else None
 

@@ -35,6 +35,7 @@ class ProblemConfig:
     condition_dim: Optional[int] = None
     categorical_conditions: bool = False
     compute_dtype: str = "float32"   # "bfloat16" feeds the MXU at full rate
+    remat: bool = False              # rematerialise activations in backward
 
     def __post_init__(self):
         assert self.problem_type in cfg_mod.PROBLEM_TYPES, "Invalid problem type."

@@ -23,8 +23,16 @@ from mmdyn_tpu.problems.specs import evaluate, parse_batch
 
 def _loss_fn(params, model, cfg, batch, rng, kl_weight):
     inputs, targets = parse_batch(cfg, batch)
-    loss, aux = evaluate(cfg, model, {"params": params}, rng, inputs, targets,
-                         kl_weight)
+
+    def run(params, inputs, targets, rng, kl_weight):
+        return evaluate(cfg, model, {"params": params}, rng, inputs, targets,
+                        kl_weight)
+
+    if cfg.remat:
+        # trade FLOPs for HBM: recompute activations in the backward pass
+        # (useful at very large per-chip batches)
+        run = jax.checkpoint(run, static_argnums=())
+    loss, aux = run(params, inputs, targets, rng, kl_weight)
     return loss, aux
 
 

@@ -198,3 +198,31 @@ def test_cli_end_to_end(tmp_path):
     ])
     assert (problem.log_dir / "problem.pkl").exists()
     assert (problem.log_dir / "results.pkl").exists()
+
+
+class TestConditionalAndMask:
+    def test_conditional_cvae_with_shock(self, tmp_path):
+        """exp_3-style pathway: shock condition -> conditional MVAE."""
+        make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                             n_sequences=10, seq_length=3, with_shock=True)
+        cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
+                            input_type="visuotactile", use_pose=True,
+                            conditional=True, latent_size=8, batchsize=4,
+                            num_epochs=1, annealing_epochs=1)
+        problem = Problem(cfg, tmp_path / "ds",
+                          logs_root=str(tmp_path / "logs"), tensorboard=False)
+        assert problem.cfg.condition_dim == 1  # shock width
+        results = problem.train()
+        assert np.isfinite(results["Loss/train_epoch"][0])
+
+    def test_mask_loss_path(self, tmp_path):
+        make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                             n_sequences=10, seq_length=3)
+        cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-vae",
+                            input_type="visual", mask_loss=True,
+                            latent_size=8, batchsize=4, num_epochs=1,
+                            annealing_epochs=1)
+        problem = Problem(cfg, tmp_path / "ds",
+                          logs_root=str(tmp_path / "logs"), tensorboard=False)
+        results = problem.train()
+        assert np.isfinite(results["Loss/train_epoch"][0])
