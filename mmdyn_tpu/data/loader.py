@@ -77,12 +77,15 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     done = object()
 
     def producer():
-        for batch in iterator:
+        try:
+            for batch in iterator:
+                sem_space.acquire()
+                queue.append(to_device_batch(batch, sharding))
+                sem_ready.release()
             sem_space.acquire()
-            queue.append(to_device_batch(batch, sharding))
-            sem_ready.release()
-        sem_space.acquire()
-        queue.append(done)
+            queue.append(done)
+        except BaseException as e:  # propagate to the consumer, never hang it
+            queue.append(e)
         sem_ready.release()
 
     t = threading.Thread(target=producer, daemon=True)
@@ -93,4 +96,6 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         sem_space.release()
         if item is done:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
