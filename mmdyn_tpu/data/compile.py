@@ -133,6 +133,13 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
     pose_min[3:] = -1.0
     pose_max[3:] = 1.0
     has_shock = any("shock" in info for info in infos)
+    if has_shock and not all("shock" in info for info in infos):
+        missing = [str(data_files[i]) for i, info in enumerate(infos)
+                   if "shock" not in info][:5]
+        raise ValueError(
+            "mixed corpus: some sequences have 'shock' and some do not "
+            f"(e.g. {missing}); compile shock and no-shock experiments into "
+            "separate datasets")
     shock_dim = shock_all.shape[1]
 
     sv = "sv" in str(dataset_path)

@@ -60,7 +60,7 @@ def load():
     lib = ctypes.CDLL(str(path))
     lib.mmdyn_decode_png.restype = ctypes.c_int
     lib.mmdyn_decode_png.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     lib.mmdyn_compile_frame.restype = ctypes.c_int
     lib.mmdyn_compile_frames.restype = ctypes.c_int
@@ -69,19 +69,28 @@ def load():
     return lib
 
 
-def decode_png(path):
-    """Decode a PNG via the native library -> (H, W, C) uint8 array."""
+def decode_png(path, max_bytes=256 * 1024 * 1024):
+    """Decode a PNG via the native library -> (H, W, C) uint8 array.
+
+    Palette PNGs decode to raw indices (1 channel) to match PIL's behaviour
+    on P-mode images (the compile-path parity contract)."""
     lib = load()
     assert lib is not None, "native library unavailable"
-    buf = np.empty(32 * 1024 * 1024, np.uint8)  # up to ~8 MP RGBA
-    w = ctypes.c_int()
-    h = ctypes.c_int()
-    c = lib.mmdyn_decode_png(
-        str(path).encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.byref(w), ctypes.byref(h))
-    assert c > 0, f"native PNG decode failed for {path}"
-    out = buf[: w.value * h.value * c].reshape(h.value, w.value, c).copy()
-    return out
+    buf = np.empty(32 * 1024 * 1024, np.uint8)
+    while True:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        c = lib.mmdyn_decode_png(
+            str(path).encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_longlong(buf.nbytes),
+            ctypes.byref(w), ctypes.byref(h))
+        if c == -1:  # image larger than the buffer: grow and retry
+            assert buf.nbytes < max_bytes, f"PNG too large: {path}"
+            buf = np.empty(buf.nbytes * 4, np.uint8)
+            continue
+        assert c > 0, f"native PNG decode failed for {path}"
+        return buf[: w.value * h.value * c].reshape(h.value, w.value, c).copy()
 
 
 def _paths_array(paths):

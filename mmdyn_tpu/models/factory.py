@@ -17,6 +17,9 @@ def setup_model(model_name, cross_modal=False, **kwargs):
         return MVAE(**kwargs)
     if "vae" in model_name:
         assert not cross_modal, "VAE does not work with cross modal inputs."
+        # the reference VAE accepts-and-ignores use_pose (vae.py:75); flax
+        # modules reject unknown fields, so drop it here
+        kwargs.pop("use_pose", None)
         return VAE(**kwargs)
     if "regressor" in model_name:
         return Regressor(**kwargs)

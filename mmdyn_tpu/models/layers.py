@@ -137,8 +137,12 @@ class ConvTranspose2d(nn.Module):
         in_ch = x.shape[-1]
         k = self.kernel_size
         pad = k - 1 - self.padding
+        # torch's kaiming_uniform on a ConvTranspose2d weight (in, out, kh,
+        # kw) computes fan_in from dim 1 = out_ch*k*k, i.e. our fan_OUT
         kernel = self.param(
-            "kernel", torch_kernel_init, (k, k, in_ch, self.features), jnp.float32
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_out", "uniform"),
+            (k, k, in_ch, self.features), jnp.float32
         )
         xc, kc = _cast_compute(x, kernel, self.compute_dtype)
         y = jax.lax.conv_general_dilated(

@@ -197,13 +197,22 @@ class VAE(nn.Module):
         )
 
     def __call__(self, x, c=None):
+        orig_shape = None
         if x.ndim > 2 and self.architecture == "mlp":
-            # replicate vae.py:82-83: view(-1, input_dim) — for image input
-            # this folds channels into the batch axis exactly as torch does
-            x = jnp.reshape(x, (-1, self.input_dim))
+            # replicate vae.py:82-83 view(-1, input_dim): torch folds the
+            # NCHW channel planes into the batch axis, so transpose our NHWC
+            # input to channel-major before folding, and unfold the
+            # reconstruction back to the input layout
+            orig_shape = x.shape  # (B, H, W, C)
+            x = jnp.reshape(jnp.transpose(x, (0, 3, 1, 2)),
+                            (-1, self.input_dim))
         means, log_var = self.encoder(x, c)
         z = reparametrize(self.make_rng("reparam"), means, log_var)
         recon_x = self.decoder(z, c)
+        if orig_shape is not None:
+            b, h, w, ch = orig_shape
+            recon_x = jnp.transpose(jnp.reshape(recon_x, (b, ch, h, w)),
+                                    (0, 2, 3, 1))
         return recon_x, means, log_var
 
     def encode(self, x, c=None):

@@ -141,14 +141,12 @@ def mvae_evaluate(model, variables, rng, inputs, targets, kl_weight, cfg):
         "tactile": jax.lax.stop_gradient(
             bce_with_logits(recon_t[1], t_t, "mean")),
     }
-    joint = 3 if use_pose else 0
     recon_x = {
         # joint reconstructions for image logging; with pose the reference
         # logs the 3-modality joint pass (problems.py:507-512, 537)
         "visual": recon_v[2 if use_pose else 0],
         "tactile": recon_t[2 if use_pose else 0],
     }
-    del joint
     if use_pose:
         perf["pose"] = jax.lax.stop_gradient(mse(recon_p[3], t_p, "mean"))
         recon_x["pose"] = recon_p[0]

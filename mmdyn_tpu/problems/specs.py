@@ -41,6 +41,17 @@ def _first(batch, key):
     return None if v is None else stride_first(v)
 
 
+def _single_modality_key(cfg: ProblemConfig) -> str:
+    """The array key for a single-modality input type; rejects types the
+    visuotactile problems don't support (the reference leaves model_input
+    None and fails loudly, problems.py:639-655)."""
+    if cfg.input_type not in ("visual", "tactile"):
+        raise ValueError(
+            f"input_type '{cfg.input_type}' is not supported by "
+            f"{cfg.problem_type} (valid: visual, tactile, visuotactile)")
+    return cfg.input_type
+
+
 def parse_seq_modeling(cfg: ProblemConfig, batch):
     inputs = {
         "avail": _first(batch, "avail"),
@@ -56,7 +67,7 @@ def parse_seq_modeling(cfg: ProblemConfig, batch):
             inputs["pose"] = stride_first(batch["pose"])
             targets["pose"] = batch["final_pose"]
     else:
-        key = "visual" if cfg.input_type == "visual" else "tactile"
+        key = _single_modality_key(cfg)
         inputs["x"] = stride_first(batch[key])
         targets["x"] = batch[f"final_{key}"]
     return inputs, targets
@@ -78,14 +89,14 @@ def parse_dyn_modeling(cfg: ProblemConfig, batch):
             # reference rolls pose targets WITHOUT the resting patch
             targets["pose"] = dyn_roll(batch["pose"])
     else:
-        key = "visual" if cfg.input_type == "visual" else "tactile"
+        key = _single_modality_key(cfg)
         inputs["x"] = flatten_seq(batch[key])
         targets["x"] = dyn_targets(batch[key], batch[f"final_{key}"])
     return inputs, targets
 
 
 def parse_regression(cfg: ProblemConfig, batch):
-    key = "visual" if cfg.input_type == "visual" else "tactile"
+    key = _single_modality_key(cfg)
     inputs = {
         "x": stride_first(batch[key]),
         "shock": _first(batch, "shock"),
@@ -107,7 +118,7 @@ def parse_reconstruction(cfg: ProblemConfig, batch):
             inputs["pose"] = flatten_seq(batch["pose"])
             targets["pose"] = inputs["pose"]
     else:
-        key = "visual" if cfg.input_type == "visual" else "tactile"
+        key = _single_modality_key(cfg)
         inputs["x"] = flatten_seq(batch[key])
         targets["x"] = inputs["x"]
     return inputs, targets

@@ -340,7 +340,10 @@ class TactileSensor(Sensor):
 
         alpha = 255 * np.ones((self.camera.height, self.camera.width, 1))
         tactile_img = np.concatenate((tactile_img, alpha), axis=2)
-        return np.rint(np.clip(tactile_img, 0, 255)).astype(np.uint8)
+        # the reference casts np.rint(...) straight to uint8 (sensor.py:443),
+        # so over-darkened negative pixels wrap modulo 256; replicate that
+        # deterministically via an int64 modulo
+        return (np.rint(tactile_img).astype(np.int64) % 256).astype(np.uint8)
 
     def compute_equilibrium(self):
         """Binary-search the image buffer for the frame whose spring force

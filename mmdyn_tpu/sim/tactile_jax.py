@@ -137,7 +137,8 @@ class TactileRendererJax:
         shaded = jnp.clip(self._bg[:, None, None] * illum, 0.0, 255.0)
         dark = (self._max_depth - depth_b) * self._dark / self._thickness
         out = shaded - dark[None]
-        out = jnp.clip(jnp.rint(out), 0.0, 255.0)
+        # match the host pipeline's uint8 wrap of over-darkened pixels
+        out = jnp.rint(out).astype(jnp.int32) % 256
         return jnp.transpose(out, (1, 2, 0)).astype(jnp.uint8)
 
     def _render_batch(self, depth_batch):

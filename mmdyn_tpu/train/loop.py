@@ -187,7 +187,7 @@ class Problem:
     def _test_epoch(self, epoch, kl_weight):
         n_batches = len(self.test_loader)
         losses, perf_acc = [], defaultdict(list)
-        last_aux, last_batch = None, None
+        last_aux = None
         for batch in self._prefetch(self.test_loader):
             metrics, aux = self.eval_step(
                 self.state.params, batch, self._next_key(), jnp.float32(kl_weight))
@@ -195,15 +195,15 @@ class Problem:
             for k, v in metrics.items():
                 if k != "loss":
                     perf_acc[k].append(v)
-            last_aux, last_batch = aux, batch
+            last_aux = aux
         val_loss = sum(float(x) for x in losses)
         self._logger_dict["Loss/validation_epoch"].append(val_loss / max(n_batches, 1))
         for k, vs in perf_acc.items():
             self._logger_dict[f"Perf_measure_validation/{k}"].append(
                 float(sum(float(v) for v in vs)) / max(n_batches, 1))
-        return val_loss, last_aux, last_batch
+        return val_loss, last_aux
 
-    def _write_images(self, epoch, aux, batch, n_images=120):
+    def _write_images(self, epoch, aux, n_images=120):
         """Input / output / target image panels (problems.py:588-614)."""
         if aux is None or "recon_x" not in aux:
             return
@@ -251,11 +251,11 @@ class Problem:
             do_profile = self.profile_dir and epoch == self._start_epoch + 1
             with trace(self.profile_dir if do_profile else None):
                 self._train_epoch(epoch, kl_weight)
-            val_loss, aux, batch = self._test_epoch(epoch, kl_weight)
+            val_loss, aux = self._test_epoch(epoch, kl_weight)
             self._sample(epoch)
             for key in self._logger_dict:
                 self.writer.scalar(key, self._logger_dict[key][-1], epoch)
-            self._write_images(epoch, aux, batch)
+            self._write_images(epoch, aux)
             self.writer.flush()
 
             if val_loss < self._best_loss:

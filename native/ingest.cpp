@@ -120,16 +120,13 @@ static bool decode_png(const uint8_t* buf, size_t len, Image& out) {
         }
     }
 
-    // normalise channel layouts: palette -> rgb; gray+alpha -> gray; rgba kept
+    // normalise channel layouts: palette stays as raw indices (PIL's
+    // np.array on a P-mode image yields indices — parity with the PIL
+    // compile path); gray+alpha -> gray; rgba kept
     if (color_type == 3) {
-        out.w = width; out.h = height; out.c = 3;
-        out.data.resize(size_t(width) * height * 3);
-        for (size_t i = 0; i < size_t(width) * height; ++i) {
-            int idx = img[i] * 3;
-            out.data[i * 3 + 0] = idx + 2 < (int)palette.size() ? palette[idx] : 0;
-            out.data[i * 3 + 1] = idx + 2 < (int)palette.size() ? palette[idx + 1] : 0;
-            out.data[i * 3 + 2] = idx + 2 < (int)palette.size() ? palette[idx + 2] : 0;
-        }
+        out.w = width; out.h = height; out.c = 1;
+        out.data = std::move(img);
+        (void)palette;
     } else if (color_type == 4) {
         out.w = width; out.h = height; out.c = 1;
         out.data.resize(size_t(width) * height);
@@ -337,10 +334,13 @@ static void to64(const Image& img256, uint8_t* out) {
 
 extern "C" {
 
-// Decode a PNG file; out buffer must hold w*h*4. Returns channels or 0.
-int mmdyn_decode_png(const char* path, uint8_t* out, int* w, int* h) {
+// Decode a PNG file into `out` (capacity `cap` bytes). Returns the channel
+// count, 0 on decode failure, or -1 if the decoded image exceeds `cap`.
+int mmdyn_decode_png(const char* path, uint8_t* out, long long cap,
+                     int* w, int* h) {
     Image img;
     if (!load_png_file(path, img)) return 0;
+    if ((long long)img.data.size() > cap) return -1;
     *w = img.w; *h = img.h;
     std::memcpy(out, img.data.data(), img.data.size());
     return img.c;
