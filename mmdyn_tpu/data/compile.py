@@ -254,8 +254,34 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
         packed["shock"] = np.stack([seqs["shock"][j] for j in order])
 
     out = root / compiled_name
-    np.savez_compressed(out, **packed)
+    if str(compiled_name).endswith(".npz"):
+        np.savez_compressed(out, **packed)
+    else:
+        save_packed_dir(out, packed)
     return out
+
+
+def save_packed_dir(out_dir, packed):
+    """Write the packed arrays as one raw .npy per key (memmap-friendly: big
+    corpora stream from disk instead of living in host RAM)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for k, v in packed.items():
+        np.save(out_dir / f"{k}.npy", np.asarray(v))
+    return out_dir
+
+
+def load_packed(path, mmap=True):
+    """Load a compiled dataset: an .npz file (in-RAM) or a packed directory
+    of .npy files (memmapped when ``mmap``). Returns a dict of arrays."""
+    path = Path(path)
+    if path.is_dir():
+        out = {}
+        for f in sorted(path.glob("*.npy")):
+            out[f.stem] = np.load(f, mmap_mode="r" if mmap else None)
+        return out
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
 
 
 def _color_mask(img_path, crop_size):

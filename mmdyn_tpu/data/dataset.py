@@ -28,14 +28,15 @@ class VisuoTactileArrays:
             "final_visual", "final_tactile", "final_pose", "shock")
 
     def __init__(self, dataset_path, train=True, train_frac=0.8,
-                 compiled_name=COMPILED_NAME, strict_parity=True):
+                 compiled_name=COMPILED_NAME, strict_parity=True, mmap=True):
+        from mmdyn_tpu.data.compile import load_packed
+
         root = Path(os.path.expanduser(str(dataset_path)))
-        npz_path = root / compiled_name
-        if not npz_path.exists():
+        packed_path = root / compiled_name
+        if not packed_path.exists():
             compile_dataset(root, strict_parity=strict_parity,
                             compiled_name=compiled_name)
-        with np.load(npz_path) as z:
-            arrays = {k: z[k] for k in z.files}
+        arrays = load_packed(packed_path, mmap=mmap)
         self.seq_length = int(arrays.pop("seq_length"))
         self.has_shock = bool(arrays.pop("has_shock", False))
 

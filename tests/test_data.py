@@ -157,3 +157,33 @@ class TestLoader:
         assert len(dd["train_loader"]) == 2
         b = next(iter(dd["train_loader"]))
         assert b["visual"].shape == (4, 4, 64, 64, 3)
+
+
+class TestPackedDir:
+    def test_compile_to_packed_dir_and_train_view(self, tmp_path):
+        """Directory-of-npy format memmaps instead of loading into RAM."""
+        from mmdyn_tpu.data.compile import load_packed
+        make_synthetic_dumps(tmp_path, n_sequences=4, seq_length=4)
+        out = compile_dataset(tmp_path, verbose=False,
+                              compiled_name="compiled_v2")
+        assert out.is_dir()
+        arrays = load_packed(out)
+        assert isinstance(arrays["visual"], np.memmap)
+        d = VisuoTactileArrays(tmp_path, train=True,
+                               compiled_name="compiled_v2")
+        assert d.seq_length == 4
+        loader = BatchLoader(d.arrays, batch_size=2, shuffle=False)
+        b = next(iter(loader))
+        assert b["visual"].shape == (2, 4, 64, 64, 3)
+
+    def test_npz_and_dir_formats_match(self, tmp_path):
+        from mmdyn_tpu.data.compile import load_packed
+        make_synthetic_dumps(tmp_path, n_sequences=3, seq_length=3)
+        a = compile_dataset(tmp_path, verbose=False, seed=0,
+                            compiled_name="a.npz")
+        b = compile_dataset(tmp_path, verbose=False, seed=0,
+                            compiled_name="b_dir")
+        za, zb = load_packed(a), load_packed(b)
+        for k in za:
+            np.testing.assert_array_equal(np.asarray(za[k]),
+                                          np.asarray(zb[k]), err_msg=k)
