@@ -247,13 +247,16 @@ class AnalyticBackend(PhysicsBackend):
 
     # --- rendering ------------------------------------------------------------
 
-    def render(self, camera, return_normals=False):
-        """Raycast RGB/depth/seg through ``camera`` -> (rgb (H,W,4) uint8,
-        depth z_b (H,W) float, seg (H,W) int[, normals (H,W,3) float])."""
+    def _ray_grid(self, camera):
+        """Per-pixel unit ray directions, cached per camera pose (static
+        sensors re-render with identical matrices every snapshot)."""
         h, w = camera.height, camera.width
         eye = camera.camera_eye_position.astype(np.float64)
-
-        # rays through every pixel: unproject the near plane
+        key = (w, h, np.asarray(camera.view_matrix).tobytes(),
+               np.asarray(camera.projection_matrix).tobytes())
+        cached = getattr(self, "_ray_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2], eye
         x = np.arange(w, dtype=np.float64)
         y = np.arange(h, dtype=np.float64)
         xm, ym = np.meshgrid(x, y)
@@ -261,10 +264,21 @@ class AnalyticBackend(PhysicsBackend):
                         np.full(h * w, camera.near)])
         near_pts = camera.unproject_pixel_to_3D(pix)        # (3, N)
         dirs = near_pts - eye[:, None]
-        dirs = dirs / np.linalg.norm(dirs, axis=0, keepdims=True)
-
+        dirs = (dirs / np.linalg.norm(dirs, axis=0, keepdims=True)).astype(
+            np.float32)
         forward = (camera.camera_target_position - eye)
-        forward = forward / np.linalg.norm(forward)
+        forward = (forward / np.linalg.norm(forward)).astype(np.float32)
+        self._ray_cache = (key, dirs, forward)
+        return dirs, forward, eye
+
+    def render(self, camera, return_normals=False):
+        """Raycast RGB/depth/seg through ``camera`` -> (rgb (H,W,4) uint8,
+        depth z_b (H,W) float, seg (H,W) int[, normals (H,W,3) float]).
+        Intersections run in float32 (sub-pixel-noise level) with cached
+        per-pose ray grids."""
+        h, w = camera.height, camera.width
+        dirs, forward, eye64 = self._ray_grid(camera)
+        eye = eye64.astype(np.float32)
 
         n = h * w
         t_best = np.full(n, np.inf)
@@ -324,7 +338,7 @@ class AnalyticBackend(PhysicsBackend):
 
     @staticmethod
     def _ray_sphere(eye, dirs, body):
-        c = body.position
+        c = body.position.astype(np.float32)
         r = float(body.size[0])
         oc = (eye - c)[:, None]
         b_half = np.sum(oc * dirs, axis=0)
@@ -343,11 +357,11 @@ class AnalyticBackend(PhysicsBackend):
 
     @staticmethod
     def _ray_box(eye, dirs, body):
-        rot = quat_to_matrix(body.orientation)
+        rot = quat_to_matrix(body.orientation).astype(np.float32)
         # transform ray into box frame
-        o = rot.T @ (eye - body.position)
+        o = rot.T @ (eye - body.position.astype(np.float32))
         d = rot.T @ dirs
-        he = body.size.reshape(3, 1)
+        he = body.size.reshape(3, 1).astype(np.float32)
         with np.errstate(divide="ignore", invalid="ignore"):
             inv = np.where(np.abs(d) > 1e-12, 1.0 / d, np.inf)
         t1 = (-he - o[:, None]) * inv
