@@ -71,6 +71,15 @@ class Sensor:
                                            aspect=camera_aspect,
                                            near=camera_near, far=camera_far)
 
+        # debug lines (sensor.py:84-86, PyBullet only)
+        self.debug_line = []
+        from mmdyn_tpu.sim.physics import PyBulletBackend as _PB
+        if isinstance(backend, _PB):
+            p = backend.pybullet
+            self.debug_line = [p.addUserDebugLine([0.0, 0.0, 0.0],
+                                                  [1.0, 0.0, 0.0], [1, 0, 0])
+                               for _ in range(5)]
+
         # surface normal vector and spanning vectors (sensor.py:76-81)
         surface_vectors = [0 if x == 1 else 1 for x in sensor_vector]
         self._init_surface_vec_1 = np.zeros(3)
@@ -124,6 +133,11 @@ class Sensor:
         camera_up = normalize(rot.dot(self._camera.init_camera_up_vector))
         eye = (self._position - self._sensor_vector
                * abs(np.dot(self._init_sensor_vector, self._sensor_size)) / 2)
+        # facing-direction debug line (sensor.py:121-123, PyBullet GUI only)
+        if self.debug_line:
+            self.backend.pybullet.addUserDebugLine(
+                eye, self._position + self._sensor_vector, [1, 0, 0],
+                replaceItemUniqueId=self.debug_line[0])
         self._camera.set_view_matrix(eye, self._position + self._sensor_vector,
                                      camera_up)
 
