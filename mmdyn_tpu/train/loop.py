@@ -72,6 +72,11 @@ class Problem:
         self.seq_length = dd["seq_length"]
         print(self.seq_length)
         print(len(self.train_dataset), len(self.test_dataset))
+        if len(self.test_loader) == 0:
+            print(f"WARNING: test split ({len(self.test_dataset)} sequences) "
+                  f"is smaller than the batch size ({cfg.batchsize}) and "
+                  f"drop_last is on (reference semantics) — validation loss "
+                  f"will read 0. Use a smaller batch or more data.")
 
         # --- condition dim (the shock-force width, problems.py:675-681) ---
         condition_dim = self.train_dataset.shock_dim
