@@ -25,3 +25,23 @@ to the upstream repo (mmdyn/...).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level convenience API (keeps `import mmdyn_tpu` light)."""
+    if name in ("Problem",):
+        from mmdyn_tpu.train.loop import Problem
+        return Problem
+    if name in ("ProblemConfig",):
+        from mmdyn_tpu.problems.base import ProblemConfig
+        return ProblemConfig
+    if name in ("setup_model", "count_parameters"):
+        from mmdyn_tpu.models import factory
+        return getattr(factory, name)
+    if name in ("dataset_setup",):
+        from mmdyn_tpu.data.dataset import dataset_setup
+        return dataset_setup
+    if name in ("make_mesh",):
+        from mmdyn_tpu.parallel.mesh import make_mesh
+        return make_mesh
+    raise AttributeError(name)
