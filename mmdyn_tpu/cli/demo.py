@@ -23,6 +23,8 @@ parser.add_argument("--show_image", default=False, action="store_true",
                     help="If true, shows the sensor images.")
 parser.add_argument("--interval", type=int, default=10,
                     help="Number of timesteps between each snapshot.")
+parser.add_argument("--fast-shading", action="store_true", default=False,
+                    help="float32 Phong (~2x faster snapshots)")
 parser.add_argument("--headless", action="store_true", default=False,
                     help="If true, uses headless rendering.")
 parser.add_argument("--engine", type=str, default="auto",
@@ -48,7 +50,8 @@ def main(argv=None):
                             engine=args.engine)
     sensor = make_sensor(backend, size=[1.5, 1.5, 1], position=[0, 0, 0.5],
                          sensor_vector=[0, 0, 1], thickness=0.01,
-                         use_force=False, constrained=False)
+                         use_force=False, constrained=False,
+                         fast_shading=args.fast_shading)
 
     # initial object pose via the pose-algebra pipeline (demo.py:56-62)
     position = np.array([0.0, 0.0, 1.3])

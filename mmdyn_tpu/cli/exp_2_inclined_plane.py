@@ -25,6 +25,8 @@ parser.add_argument("--category",
                     default="")
 parser.add_argument("--show_image", default=False, action="store_true")
 parser.add_argument("--interval", type=int, default=10)
+parser.add_argument("--fast-shading", action="store_true", default=False,
+                    help="float32 Phong (~2x faster snapshots)")
 parser.add_argument("--headless", action="store_true", default=False)
 parser.add_argument("--slope", type=float, default=0.15,
                     help="Sensor tilt angle (radians).")
@@ -52,7 +54,8 @@ def run_trial(args, info, k, engine):
     sensor = make_sensor(backend, size=[1.5, 1.5, 1], position=[0, 0, 0.5],
                          orientation=tuple(tilt), sensor_vector=[0, 0, 1],
                          thickness=0.005, use_force=False,
-                         constrained=isinstance(backend, PyBulletBackend))
+                         constrained=isinstance(backend, PyBulletBackend),
+                         fast_shading=args.fast_shading)
 
     if not info["textured_material"]:
         color = list(random.choice(info["colors"]))

@@ -27,6 +27,8 @@ parser.add_argument("--category",
                     default="")
 parser.add_argument("--show_image", default=False, action="store_true")
 parser.add_argument("--interval", type=int, default=10)
+parser.add_argument("--fast-shading", action="store_true", default=False,
+                    help="float32 Phong (~2x faster snapshots)")
 parser.add_argument("--headless", action="store_true", default=False)
 parser.add_argument("--force", type=float, default=1)
 parser.add_argument("--debug", action="store_true", default=False)
@@ -53,7 +55,8 @@ def run_trial(args, info, k, engine, force_amp):
     # movable sensor, mass 100 (exp_3:64-65)
     sensor = make_sensor(backend, size=[1.5, 1.5, 1], position=[0, 0, 0.5],
                          sensor_vector=[0, 0, 1], thickness=0.005,
-                         use_force=False, constrained=False, mass=100)
+                         use_force=False, constrained=False, mass=100,
+                         fast_shading=args.fast_shading)
 
     if not info["textured_material"]:
         color = list(random.choice(info["colors"]))

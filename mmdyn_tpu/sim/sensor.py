@@ -401,10 +401,14 @@ class TactileSensor(Sensor):
 def make_sensor(backend, position=(0.0, 0.0, 0.5), orientation=(0, 0, 0, 1),
                 size=(1.0, 1.0, 1.0), mass=10000, sensor_vector=(0.0, 0.0, 1.0),
                 thickness=0.01, use_force=False, constrained=False,
-                virtual_links=False):
-    """Shader + camera intrinsics + TactileSensor factory (sensor.py:494-537)."""
+                virtual_links=False, fast_shading=False):
+    """Shader + camera intrinsics + TactileSensor factory (sensor.py:494-537).
+    ``fast_shading`` switches Phong to float32 (~2x faster data generation,
+    sub-uint8 image differences)."""
+    import numpy as _np
     shader = Shader(k_specular=0.5, k_diffuse=1.0, k_ambient=0.8, alpha=5,
-                    ambient_lightning=1.0, directional_light=True)
+                    ambient_lightning=1.0, directional_light=True,
+                    dtype=_np.float32 if fast_shading else _np.float64)
     near = abs(np.dot(size, sensor_vector)) * 0.9
     far = 10
     fovy = 2 * math.atan(size[0] / 2 / abs(np.dot(size, sensor_vector))) / math.pi * 180

@@ -43,13 +43,16 @@ class Shader:
     (shader.py:40-129)."""
 
     def __init__(self, k_specular=0.15, k_diffuse=0.5, k_ambient=1, alpha=5,
-                 ambient_lightning=1, directional_light=True):
+                 ambient_lightning=1, directional_light=True, dtype=np.float64):
+        """``dtype=np.float32`` roughly halves shading time (sub-uint8
+        differences at contact edges); float64 matches the reference exactly."""
         self._directional_light = directional_light
         self._k_specular = k_specular
         self._k_diffuse = k_diffuse
         self._k_ambient = k_ambient
         self._alpha = alpha
         self._ambient_lightning = ambient_lightning
+        self._dtype = dtype
         self._lights = []
 
     def set_lights(self, positions, directions, i_speculars, i_diffuses):
@@ -60,14 +63,16 @@ class Shader:
 
     def illumination(self, points, surface_normals, viewer):
         """Per-point RGB illumination (3, N) (shader.py:78-113)."""
-        points = np.reshape(points, (3, -1))
-        surface_normals = np.reshape(surface_normals, (3, -1))
-        viewer = np.reshape(viewer, (3, -1))
+        points = np.reshape(points, (3, -1)).astype(self._dtype, copy=False)
+        surface_normals = np.reshape(surface_normals, (3, -1)).astype(
+            self._dtype, copy=False)
+        viewer = np.reshape(viewer, (3, -1)).astype(self._dtype, copy=False)
 
         i_p = self._k_ambient * self._ambient_lightning
         for light in self._lights:
             v = viewer - points
-            l = light.direction if self._directional_light else light.position - points
+            l = (light.direction if self._directional_light
+                 else light.position - points).astype(self._dtype, copy=False)
             # clip back-facing contributions (shader.py:104-106)
             ndotl = np.clip(np.sum(l * surface_normals, axis=0), 0, math.inf)
             r = 2 * ndotl * surface_normals - l
