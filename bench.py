@@ -13,10 +13,12 @@ Prints ONE JSON line:
                backward + Adam), measured in-process at a smaller batch and
                normalised per-frame.
 
-Defaults measure the TPU-native production configuration: batch 2048,
-bfloat16 matmul/conv inputs (f32 accumulation), 100 dependency-chained steps
-with a single device sync at the end (per-step wall clock; parity-mode
-training uses f32 and is benchmarked with --no-bf16).
+Defaults measure the TPU-native production configuration: batch 512 (the
+throughput saturation point on one chip), bfloat16 matmul/conv inputs (f32
+accumulation), 50 dependency-chained steps ended by HOST TRANSFERS of the
+loss and a final-state parameter (the tunnel's block_until_ready can return
+with work still in flight; transfers cannot lie). Parity-mode training uses
+f32 (--no-bf16).
 
 Flags: --batch, --steps, --latent, --skip-torch (vs_baseline=0), --platform,
 --no-bf16.
@@ -73,20 +75,29 @@ def bench_jax(batch, steps, latent, bf16=False):
     state = create_train_state(variables["params"], tx)
     step_fn = make_train_step(cfg, model, tx)
 
+    def full_sync(state, metrics):
+        # the tunnel's block_until_ready can return with work still in
+        # flight; host transfers cannot lie — fetch the loss AND a param leaf
+        # of the final state so the entire dependency chain must retire
+        loss = float(metrics["loss"])
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        float(jnp.sum(leaf))
+        return loss
+
     key = jax.random.PRNGKey(1)
     kl = jnp.float32(1.0)
     # warmup / compile
     key, sub = jax.random.split(key)
     state, metrics = step_fn(state, batch_data, sub, kl)
-    jax.block_until_ready(metrics["loss"])
+    full_sync(state, metrics)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, batch_data, sub, kl)
-    jax.block_until_ready(metrics["loss"])
+    loss = full_sync(state, metrics)
     dt = (time.perf_counter() - t0) / steps
-    return batch / dt, dt, float(metrics["loss"])
+    return batch / dt, dt, loss
 
 
 def bench_torch_cpu(batch, steps, latent):
@@ -120,8 +131,8 @@ def bench_torch_cpu(batch, steps, latent):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--latent", type=int, default=256)
     ap.add_argument("--torch-batch", type=int, default=16)
     ap.add_argument("--torch-steps", type=int, default=2)

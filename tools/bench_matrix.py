@@ -80,23 +80,31 @@ def bench_config(spec, batch, steps, latent, bf16, seq_len):
     state = create_train_state(variables["params"], tx)
     step_fn = make_train_step(cfg, model, tx)
 
+    def full_sync(state, metrics):
+        # host transfers force true completion (tunnel block_until_ready can
+        # return early)
+        loss = float(metrics["loss"])
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        float(jnp.sum(leaf))
+        return loss
+
     key = jax.random.PRNGKey(1)
     kl = jnp.float32(1.0)
     key, sub = jax.random.split(key)
     state, metrics = step_fn(state, batch_data, sub, kl)
-    jax.block_until_ready(metrics["loss"])
+    full_sync(state, metrics)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, batch_data, sub, kl)
-    jax.block_until_ready(metrics["loss"])
+    loss = full_sync(state, metrics)
     step_time = (time.perf_counter() - t0) / steps
 
     # a dyn_modeling step consumes every frame in the batch (B*T);
     # seq_modeling consumes frame 0 of each sequence (B)
     frames = batch * (seq_len if spec["problem_type"] == "dyn_modeling" else 1)
-    return frames / step_time, step_time, float(metrics["loss"])
+    return frames / step_time, step_time, loss
 
 
 def main():
