@@ -143,3 +143,33 @@ class TestReferenceOracle:
                                    rtr.numpy(), rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(pr), rpr.numpy(), rtol=1e-3,
                                    atol=1e-3)
+
+
+def test_export_tool_end_to_end(tmp_path):
+    """Train one epoch, export the checkpoint with the CLI tool, torch.load it."""
+    import subprocess, sys as _sys
+    from mmdyn_tpu.data.synthetic import make_compiled_arrays
+    from mmdyn_tpu.problems.base import ProblemConfig
+    from mmdyn_tpu.train.loop import Problem
+
+    make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                         n_sequences=8, seq_length=2)
+    cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-vae",
+                        input_type="visual", latent_size=8, batchsize=2,
+                        num_epochs=1, annealing_epochs=1)
+    problem = Problem(cfg, tmp_path / "ds", logs_root=str(tmp_path / "logs"),
+                      tensorboard=False)
+    problem.train()
+
+    out = tmp_path / "exported.ckpt"
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [_sys.executable, "tools/export_torch_ckpt.py", "export",
+         "--run", str(problem.log_dir), "--model-name", "cnn-vae",
+         "--out", str(out)],
+        capture_output=True, text=True, env=env, cwd=str(
+            __import__("pathlib").Path(__file__).resolve().parents[1]))
+    assert r.returncode == 0, r.stderr
+    blob = torch.load(out, map_location="cpu", weights_only=False)
+    assert "model" in blob and "epoch" in blob and "loss" in blob
+    assert any(k.startswith("encoder.conv_net") for k in blob["model"])

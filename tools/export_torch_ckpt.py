@@ -31,7 +31,14 @@ def cmd_export(args):
     ckpt_dir = Path(args.run) / "checkpoint"
     path = latest_checkpoint(ckpt_dir)
     assert path is not None, f"no checkpoint under {ckpt_dir}"
-    restored = ocp.StandardCheckpointer().restore(path.absolute())
+    # restore as host numpy so checkpoints written on any device topology
+    # (CPU mesh, TPU) export identically
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path.absolute()).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    restored = ckptr.restore(path.absolute(), restore_args=restore_args)
     params = restored["state"]["params"]
     epoch = int(np.asarray(restored["epoch"]))
     best_loss = float(np.asarray(restored["best_loss"]))
