@@ -70,10 +70,15 @@ def dataset_setup(dataset_path, problem_type, batchsize=128, shuffle=True,
                                        strict_parity=strict_parity)
     test_dataset = VisuoTactileArrays(dataset_path, train=False,
                                       strict_parity=strict_parity)
+    # seq_modeling / regression consume only frame 0 of each sequence
+    # (problems.py:648 stride) — don't ship the other T-1 frames to HBM
+    frames = 1 if problem_type in ("seq_modeling", "regression") else None
     train_loader = BatchLoader(train_dataset.arrays, batchsize,
-                               shuffle=shuffle, drop_last=True, seed=seed)
+                               shuffle=shuffle, drop_last=True, seed=seed,
+                               frames=frames)
     test_loader = BatchLoader(test_dataset.arrays, batchsize,
-                              shuffle=False, drop_last=True, seed=seed)
+                              shuffle=False, drop_last=True, seed=seed,
+                              frames=frames)
     return {
         "train_dataset": train_dataset,
         "test_dataset": test_dataset,

@@ -21,18 +21,28 @@ import jax.numpy as jnp
 IMAGE_KEYS = ("visual", "tactile", "seg", "final_visual", "final_tactile")
 
 
+SEQUENCE_KEYS = ("visual", "tactile", "pose", "avail", "shock", "seg")
+
+
 class BatchLoader:
     """Slices packed per-sequence arrays into (B, T, ...) uint8/float batches.
 
     drop_last is always-on to match the reference DataLoader (datasets.py:49).
+
+    ``frames`` limits how many leading frames of each sequence are shipped:
+    seq_modeling and regression only ever consume frame 0 (the reference's
+    ``[::seq_length]`` stride, problems.py:648), so ``frames=1`` cuts
+    host->HBM transfer by T x with identical training semantics.
     """
 
     def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
-                 shuffle: bool = True, drop_last: bool = True, seed: int = 0):
+                 shuffle: bool = True, drop_last: bool = True, seed: int = 0,
+                 frames: Optional[int] = None):
         self.arrays = arrays
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.frames = frames
         self._rng = np.random.default_rng(seed)
         n = next(iter(arrays.values())).shape[0]
         self.n_sequences = n
@@ -49,7 +59,13 @@ class BatchLoader:
         nb = len(self)
         for b in range(nb):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-            yield {k: v[idx] for k, v in self.arrays.items()}
+            out = {}
+            for k, v in self.arrays.items():
+                sel = v[idx]
+                if self.frames is not None and k in SEQUENCE_KEYS:
+                    sel = sel[:, : self.frames]
+                out[k] = sel
+            yield out
 
 
 def to_device_batch(batch: Dict[str, np.ndarray], sharding=None):

@@ -156,7 +156,11 @@ class TestLoader:
         assert dd["seq_length"] == 4
         assert len(dd["train_loader"]) == 2
         b = next(iter(dd["train_loader"]))
-        assert b["visual"].shape == (4, 4, 64, 64, 3)
+        # seq_modeling ships only frame 0 (the [::T] stride consumes nothing else)
+        assert b["visual"].shape == (4, 1, 64, 64, 3)
+        dd2 = dataset_setup(tmp_path, "dyn_modeling", batchsize=4)
+        b2 = next(iter(dd2["train_loader"]))
+        assert b2["visual"].shape == (4, 4, 64, 64, 3)
 
 
 class TestPackedDir:
@@ -187,3 +191,15 @@ class TestPackedDir:
         for k in za:
             np.testing.assert_array_equal(np.asarray(za[k]),
                                           np.asarray(zb[k]), err_msg=k)
+
+
+def test_loader_frame_subset(tmp_path):
+    """frames=1 ships only frame 0 of sequence keys; finals untouched."""
+    make_compiled_arrays(tmp_path / "c.npz", n_sequences=8, seq_length=5)
+    d = VisuoTactileArrays(tmp_path, train=True, compiled_name="c.npz")
+    full = BatchLoader(d.arrays, batch_size=2, shuffle=False)
+    lite = BatchLoader(d.arrays, batch_size=2, shuffle=False, frames=1)
+    bf, bl = next(iter(full)), next(iter(lite))
+    assert bl["visual"].shape == (2, 1, 64, 64, 3)
+    np.testing.assert_array_equal(bl["visual"][:, 0], bf["visual"][:, 0])
+    np.testing.assert_array_equal(bl["final_visual"], bf["final_visual"])
