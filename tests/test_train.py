@@ -226,3 +226,19 @@ class TestConditionalAndMask:
                           logs_root=str(tmp_path / "logs"), tensorboard=False)
         results = problem.train()
         assert np.isfinite(results["Loss/train_epoch"][0])
+
+
+def test_problem_loop_with_mesh(tmp_path):
+    """Full Problem epoch loop under an 8-device data-parallel mesh."""
+    make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                         n_sequences=24, seq_length=2)
+    cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-vae",
+                        input_type="visual", latent_size=8, batchsize=8,
+                        num_epochs=1, annealing_epochs=1)
+    mesh = make_mesh(8)
+    problem = Problem(cfg, tmp_path / "ds", logs_root=str(tmp_path / "logs"),
+                      tensorboard=False, mesh=mesh)
+    results = problem.train()
+    assert np.isfinite(results["Loss/train_epoch"][0])
+    leaf = jax.tree_util.tree_leaves(problem.state.params)[0]
+    assert leaf.sharding.is_fully_replicated
