@@ -38,7 +38,13 @@ sys.path.insert(0, str(REPO))
 METRIC = "cnn-mvae visuotactile+pose seq_modeling train throughput (frames/sec/chip)"
 
 
-def bench_jax(batch, steps, latent, bf16=False):
+def bench_train(problem_type="seq_modeling", model_name="cnn-mvae",
+                input_type="visuotactile", use_pose=True, batch=512, steps=50,
+                latent=256, bf16=True, seq_len=2):
+    """Shared benchmark core: build the config/model/state, run `steps`
+    dependency-chained train steps, and time them ending with host transfers
+    (the tunnel's block_until_ready can return with work still in flight;
+    transfers cannot lie). Returns (frames_per_sec, step_time, loss)."""
     import jax
     import jax.numpy as jnp
     from mmdyn_tpu.models import setup_model
@@ -46,15 +52,18 @@ def bench_jax(batch, steps, latent, bf16=False):
     from mmdyn_tpu.train.state import create_train_state
     from mmdyn_tpu.train.steps import make_train_step
 
-    dt = "bfloat16" if bf16 else "float32"
-    cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
-                        input_type="visuotactile", use_pose=True,
-                        latent_size=latent, batchsize=batch, compute_dtype=dt)
-    model = setup_model("cnn-mvae", cross_modal=True, latent_size=latent,
-                        use_pose=True, compute_dtype=dt)
+    compute_dtype = "bfloat16" if bf16 else "float32"
+    cfg = ProblemConfig(problem_type=problem_type, model_name=model_name,
+                        input_type=input_type, use_pose=use_pose,
+                        latent_size=latent, batchsize=batch,
+                        compute_dtype=compute_dtype)
+    kwargs = dict(latent_size=latent, architecture="cnn",
+                  compute_dtype=compute_dtype)
+    if cfg.is_mvae and cfg.cross_modal:
+        kwargs["use_pose"] = cfg.use_pose
+    model = setup_model(cfg.model_name, cross_modal=cfg.cross_modal, **kwargs)
 
     rng = np.random.default_rng(0)
-    seq_len = 2  # seq_modeling consumes frame 0 per sequence; keep host batch slim
     f32 = lambda *s: jnp.asarray(rng.uniform(size=s).astype(np.float32))
     batch_data = {
         "visual": f32(batch, seq_len, 64, 64, 3),
@@ -68,17 +77,19 @@ def bench_jax(batch, steps, latent, bf16=False):
     }
 
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    variables = model.init({"params": ks[0], "dropout": ks[1], "reparam": ks[2]},
-                           [batch_data["visual"][:, 0], batch_data["tactile"][:, 0]],
-                           batch_data["final_pose"])
+    img = jnp.zeros((2, 64, 64, 3))
+    if cfg.is_mvae and cfg.cross_modal:
+        variables = model.init(
+            {"params": ks[0], "dropout": ks[1], "reparam": ks[2]},
+            [img, img], jnp.zeros((2, 7)) if cfg.use_pose else None)
+    else:
+        variables = model.init(
+            {"params": ks[0], "dropout": ks[1], "reparam": ks[2]}, img)
     tx = make_optimizer(cfg)
     state = create_train_state(variables["params"], tx)
     step_fn = make_train_step(cfg, model, tx)
 
     def full_sync(state, metrics):
-        # the tunnel's block_until_ready can return with work still in
-        # flight; host transfers cannot lie — fetch the loss AND a param leaf
-        # of the final state so the entire dependency chain must retire
         loss = float(metrics["loss"])
         leaf = jax.tree_util.tree_leaves(state.params)[0]
         float(jnp.sum(leaf))
@@ -96,8 +107,17 @@ def bench_jax(batch, steps, latent, bf16=False):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, batch_data, sub, kl)
     loss = full_sync(state, metrics)
-    dt = (time.perf_counter() - t0) / steps
-    return batch / dt, dt, loss
+    step_time = (time.perf_counter() - t0) / steps
+
+    # dyn_modeling consumes every frame (B*T); seq_modeling consumes frame 0
+    frames = batch * (seq_len if problem_type == "dyn_modeling" else 1)
+    return frames / step_time, step_time, loss
+
+
+def bench_jax(batch, steps, latent, bf16=False):
+    fps, step_time, loss = bench_train(batch=batch, steps=steps, latent=latent,
+                                       bf16=bf16)
+    return fps, step_time, loss
 
 
 def bench_torch_cpu(batch, steps, latent):

@@ -263,11 +263,21 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
 
 def save_packed_dir(out_dir, packed):
     """Write the packed arrays as one raw .npy per key (memmap-friendly: big
-    corpora stream from disk instead of living in host RAM)."""
+    corpora stream from disk instead of living in host RAM). Writes to a temp
+    sibling and atomically replaces the target, so interrupted compiles never
+    leave partial datasets and recompiles never leave stale keys behind."""
+    import shutil
+
     out_dir = Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
+    tmp_dir = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    tmp_dir.mkdir(parents=True)
     for k, v in packed.items():
-        np.save(out_dir / f"{k}.npy", np.asarray(v))
+        np.save(tmp_dir / f"{k}.npy", np.asarray(v))
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    tmp_dir.rename(out_dir)
     return out_dir
 
 

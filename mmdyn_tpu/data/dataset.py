@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-import numpy as np
 
 from mmdyn_tpu.data.compile import COMPILED_NAME, compile_dataset
 from mmdyn_tpu.data.loader import BatchLoader

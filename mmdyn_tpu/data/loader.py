@@ -61,10 +61,12 @@ class BatchLoader:
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
             out = {}
             for k, v in self.arrays.items():
-                sel = v[idx]
                 if self.frames is not None and k in SEQUENCE_KEYS:
-                    sel = sel[:, : self.frames]
-                out[k] = sel
+                    # slice frames inside the gather so memmapped corpora
+                    # only read the needed pages
+                    out[k] = v[idx, : self.frames]
+                else:
+                    out[k] = v[idx]
             yield out
 
 

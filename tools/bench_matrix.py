@@ -36,75 +36,13 @@ CONFIGS = [
 
 
 def bench_config(spec, batch, steps, latent, bf16, seq_len):
-    import jax
-    import jax.numpy as jnp
-    from mmdyn_tpu.models import setup_model
-    from mmdyn_tpu.problems.base import ProblemConfig, make_optimizer
-    from mmdyn_tpu.train.state import create_train_state
-    from mmdyn_tpu.train.steps import make_train_step
+    from bench import bench_train
 
-    dt = "bfloat16" if bf16 else "float32"
-    cfg = ProblemConfig(problem_type=spec["problem_type"],
-                        model_name=spec["model_name"],
-                        input_type=spec["input_type"],
-                        use_pose=spec["use_pose"],
-                        latent_size=latent, batchsize=batch, compute_dtype=dt)
-    kwargs = dict(latent_size=latent, architecture="cnn", compute_dtype=dt)
-    if cfg.is_mvae and cfg.cross_modal:
-        kwargs["use_pose"] = cfg.use_pose
-    model = setup_model(cfg.model_name, cross_modal=cfg.cross_modal, **kwargs)
-
-    rng = np.random.default_rng(0)
-    f32 = lambda *s: jnp.asarray(rng.uniform(size=s).astype(np.float32))
-    batch_data = {
-        "visual": f32(batch, seq_len, 64, 64, 3),
-        "tactile": f32(batch, seq_len, 64, 64, 3),
-        "pose": f32(batch, seq_len, 7),
-        "avail": jnp.ones((batch, seq_len, 2), jnp.float32),
-        "final_visual": f32(batch, 64, 64, 3),
-        "final_tactile": f32(batch, 64, 64, 3),
-        "final_pose": f32(batch, 7),
-        "seg": jnp.ones((batch, seq_len, 64, 64, 3), jnp.float32),
-    }
-
-    ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    img = jnp.zeros((2, 64, 64, 3))
-    if cfg.is_mvae and cfg.cross_modal:
-        variables = model.init(
-            {"params": ks[0], "dropout": ks[1], "reparam": ks[2]},
-            [img, img], jnp.zeros((2, 7)) if cfg.use_pose else None)
-    else:
-        variables = model.init(
-            {"params": ks[0], "dropout": ks[1], "reparam": ks[2]}, img)
-    tx = make_optimizer(cfg)
-    state = create_train_state(variables["params"], tx)
-    step_fn = make_train_step(cfg, model, tx)
-
-    def full_sync(state, metrics):
-        # host transfers force true completion (tunnel block_until_ready can
-        # return early)
-        loss = float(metrics["loss"])
-        leaf = jax.tree_util.tree_leaves(state.params)[0]
-        float(jnp.sum(leaf))
-        return loss
-
-    key = jax.random.PRNGKey(1)
-    kl = jnp.float32(1.0)
-    key, sub = jax.random.split(key)
-    state, metrics = step_fn(state, batch_data, sub, kl)
-    full_sync(state, metrics)
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch_data, sub, kl)
-    loss = full_sync(state, metrics)
-    step_time = (time.perf_counter() - t0) / steps
-
-    # a dyn_modeling step consumes every frame in the batch (B*T);
-    # seq_modeling consumes frame 0 of each sequence (B)
-    frames = batch * (seq_len if spec["problem_type"] == "dyn_modeling" else 1)
-    return frames / step_time, step_time, loss
+    return bench_train(problem_type=spec["problem_type"],
+                       model_name=spec["model_name"],
+                       input_type=spec["input_type"],
+                       use_pose=spec["use_pose"], batch=batch, steps=steps,
+                       latent=latent, bf16=bf16, seq_len=seq_len)
 
 
 def main():

@@ -12,17 +12,24 @@ problems.py:580-586), or import one back.
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+# checkpoint conversion never needs an accelerator; pin CPU (the axon plugin
+# ignores JAX_PLATFORMS alone, so also set the platform name after import)
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platform_name", "cpu")
+
 
 def cmd_export(args):
     import numpy as np
     import torch
-    import jax
     from flax import serialization
     from mmdyn_tpu.train.checkpoint import latest_checkpoint
     from mmdyn_tpu.utils.torch_compat import to_torch_state_dict
