@@ -242,3 +242,25 @@ def test_problem_loop_with_mesh(tmp_path):
     assert np.isfinite(results["Loss/train_epoch"][0])
     leaf = jax.tree_util.tree_leaves(problem.state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_evaluate_cli_end_to_end(tmp_path):
+    """Train via the CLI, then evaluate the run with the evaluation CLI."""
+    make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                         n_sequences=16, seq_length=2)
+    from mmdyn_tpu.cli.main import main as train_main
+    problem = train_main([
+        "--problem-type", "seq_modeling", "--model-name", "cnn-vae",
+        "--input-type", "visual", "--dataset-path", str(tmp_path / "ds"),
+        "--batchsize", "2", "--num-epochs", "1", "--latent-size", "8",
+        "--logs-root", str(tmp_path / "logs"), "--no-tensorboard",
+    ])
+    from mmdyn_tpu.cli.evaluate import main as eval_main
+    metrics = eval_main(["--run", str(problem.log_dir),
+                         "--dataset-path", str(tmp_path / "ds"),
+                         "--batchsize", "2", "--n-samples", "4"])
+    assert np.isfinite(metrics["test_loss_total"])
+    plot = problem.log_dir / "plot"
+    assert (plot / "eval_metrics.json").exists()
+    assert (plot / "recon.png").exists()
+    assert any(p.name.startswith("samples_") for p in plot.iterdir())
