@@ -40,6 +40,9 @@ parser.add_argument("--engine", type=str, default="auto",
 parser.add_argument("--n_objects", type=int, default=8,
                     help="Synthetic catalog size (analytic engine).")
 parser.add_argument("--seed", type=int, default=None)
+parser.add_argument("--workers", type=int, default=1,
+                    help="Parallel trial processes (trials are independent; "
+                    "each uses its own engine instance)")
 
 
 def iter_objects(args, engine):
@@ -128,6 +131,15 @@ def run_trial(args, info, k, engine):
     return True
 
 
+def _run_trial_star(job):
+    args, info, k, engine, seed = job
+    if seed is not None:
+        random.seed(seed)
+        np.random.seed(seed)
+    print(f"trial: {info['obj_name']} #{k} ({info['category']})")
+    return run_trial(args, info, k, engine)
+
+
 def main(argv=None):
     args = parser.parse_args(argv)
     if args.seed is not None:
@@ -142,13 +154,24 @@ def main(argv=None):
         except ImportError:
             engine = "analytic"
 
+    jobs = []
     total = 0
     for info in iter_objects(args, engine):
         total += 1
         for k in range(args.trial_per_obj):
-            print(f"OBJ #{total} - {k + 1}: Collecting images from the object "
-                  f"{info['obj_name']} from category {info['category']}")
-            run_trial(args, info, k, engine)
+            seed = None if args.seed is None else \
+                args.seed + 7919 * total + k
+            jobs.append((args, info, k, engine, seed))
+
+    if args.workers > 1 and engine == "analytic":
+        # trials are fully independent; PyBullet connections are per-process
+        # global so parallelism is restricted to the analytic engine
+        import multiprocessing as mp
+        with mp.get_context("spawn").Pool(args.workers) as pool:
+            pool.map(_run_trial_star, jobs)
+    else:
+        for job in jobs:
+            _run_trial_star(job)
     print(f"done: {total} objects x {args.trial_per_obj} trials")
 
 
