@@ -253,3 +253,67 @@ class TestTactileSensorEndToEnd:
                              local_coord=False)
         pos, _ = backend.get_pose(sensor.sensor_id)
         assert pos[2] == pytest.approx(0.25 + 1.0, abs=1e-6)
+
+
+class TestForceModeAndExtras:
+    def test_use_force_equilibrium_path(self):
+        """Force-matching STS mode: image buffer + binary-search equilibrium
+        (sensor.py:447-474)."""
+        backend = AnalyticBackend()
+        sensor = make_sensor(backend, size=[1.5, 1.5, 1.0],
+                             position=[0, 0, 0.5], sensor_vector=[0, 0, 1],
+                             thickness=0.05, use_force=True)
+        backend.add_sphere(0.15, [0.0, 0.0, 1.2], mass=0.5)
+        outs = None
+        for t in range(300):
+            backend.step()
+            if (t + 1) % 50 == 0:
+                outs = sensor.get_sensor_image()
+        rgb, rgb_eq, depth_eq, seg, seg_eq = outs
+        # the buffer stores 3 channels (reference utils.py:145), so the
+        # equilibrium image comes back (H, W, 3)
+        assert rgb_eq.shape == (480, 640, 3)
+        assert depth_eq.shape == (480, 640)
+        assert sensor._image_buf.pointer > 0
+        # the equilibrium image comes from the buffer and respects the clip
+        assert float(np.max(depth_eq)) <= float(sensor.max_buffer_depth) + 1e-9
+        assert sensor.contacts is not None and len(sensor.contacts) >= 1
+
+    def test_raytraced_image_with_normals(self):
+        backend = AnalyticBackend()
+        ball = backend.add_sphere(0.3, [0, 0, 0.6], color=(0, 1, 0))
+        from mmdyn_tpu.sim.camera import Camera
+        cam = Camera(width=64, height=48, backend=backend)
+        cam.set_projection_matrix(fovy=70, aspect=1, near=0.2, far=5)
+        cam.set_view_matrix([0, 0, 2.5], [0, 0, 0], [0, 1, 0])
+        rgb, depth, normals, seg = cam.get_raytraced_image()
+        assert normals.shape == (48, 64, 3)
+        hit = seg == ball
+        assert hit.any()
+        # sphere-facing normals point towards the camera (+z-ish)
+        assert normals[hit][:, 2].mean() > 0.5
+
+    def test_image_buffer_queries(self):
+        from mmdyn_tpu.sim.utils import ImageBuffer
+        buf = ImageBuffer(4, 3, size=5)
+        for i in range(4):
+            rgb = np.full((3, 4, 3), i, np.uint8)
+            depth = np.full((3, 4), i / 10, np.float32)
+            seg = np.full((3, 4), i, np.int32)
+            buf.store(rgb, depth, seg, obj_z=1.0 - i * 0.1, t=i * 0.5)
+        assert buf.get()["t"] == 1.5                      # latest
+        assert buf.get(0.72, query="time")["t"] == 0.5     # nearest time
+        assert buf.get(0.92, query="z")["z"] == pytest.approx(0.9)
+        assert buf.get(1, query="idx")["t"] == 0.5
+        assert buf.min_t == 0.0 and buf.max_z == pytest.approx(1.0)
+        buf.reset()
+        assert buf.pointer == 0
+
+    def test_video_writer(self, tmp_path):
+        from mmdyn_tpu.sim.utils import Video
+        v = Video(width=64, height=48, file_name="clip", logdir=str(tmp_path))
+        for i in range(5):
+            v.write(np.full((48, 64, 3), i * 40, np.uint8))
+        v.close()
+        avis = list(tmp_path.glob("clip*.avi"))
+        assert avis and avis[0].stat().st_size > 0

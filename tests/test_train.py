@@ -264,3 +264,17 @@ def test_evaluate_cli_end_to_end(tmp_path):
     assert (plot / "eval_metrics.json").exists()
     assert (plot / "recon.png").exists()
     assert any(p.name.startswith("samples_") for p in plot.iterdir())
+
+
+def test_dyn_modeling_mvae_loop(tmp_path):
+    """dyn_modeling with the full MVAE+pose model through the Problem loop."""
+    make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                         n_sequences=8, seq_length=2)
+    cfg = ProblemConfig(problem_type="dyn_modeling", model_name="cnn-mvae",
+                        input_type="visuotactile", use_pose=True,
+                        latent_size=8, batchsize=2, num_epochs=1,
+                        annealing_epochs=1)
+    problem = Problem(cfg, tmp_path / "ds", logs_root=str(tmp_path / "logs"),
+                      tensorboard=False)
+    results = problem.train()
+    assert np.isfinite(results["Loss/train_epoch"][0])
