@@ -203,3 +203,34 @@ def test_loader_frame_subset(tmp_path):
     assert bl["visual"].shape == (2, 1, 64, 64, 3)
     np.testing.assert_array_equal(bl["visual"][:, 0], bf["visual"][:, 0])
     np.testing.assert_array_equal(bl["final_visual"], bf["final_visual"])
+
+
+class TestCompileVariants:
+    def test_sv_duplication(self, tmp_path):
+        """'sv' datasets duplicate each sequence seq_length//5 times
+        (datasets.py:213-220 net effect)."""
+        sv_dir = tmp_path / "sv_dataset"
+        make_synthetic_dumps(sv_dir, n_sequences=3, seq_length=10)
+        out = compile_dataset(sv_dir, verbose=False)
+        with np.load(out) as z:
+            # 2 emitted sequences (last dropped) x (10 // 5) copies
+            assert z["visual"].shape[0] == 4
+
+    def test_real_dataset_compile(self, tmp_path):
+        """Real STS capture branch: initial/final pairs with colour-mask
+        segmentation (datasets.py:269-312)."""
+        from PIL import Image
+        from mmdyn_tpu.data.compile import compile_real_dataset
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            for mod in ("visual", "tactile"):
+                d = tmp_path / "dataset" / f"trial{i}" / mod
+                d.mkdir(parents=True)
+                for name in ("initial", "final"):
+                    arr = rng.integers(0, 256, size=(308, 410, 3)).astype(np.uint8)
+                    Image.fromarray(arr).save(d / f"{name}.png")
+        out = compile_real_dataset(tmp_path, verbose=False)
+        with np.load(out) as z:
+            assert z["visual"].shape == (3, 1, 64, 64, 3)
+            assert z["final_visual"].shape == (3, 64, 64, 3)
+            assert int(z["seq_length"]) == 1

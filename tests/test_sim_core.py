@@ -317,3 +317,43 @@ class TestForceModeAndExtras:
         v.close()
         avis = list(tmp_path.glob("clip*.avi"))
         assert avis and avis[0].stat().st_size > 0
+
+
+class TestGeometryExtras:
+    def test_offset_local_pose(self):
+        from mmdyn_tpu.sim.geometry import offset_local_pose
+        # identity orientation: local offset == world offset
+        pose = list2pose_stamped([1, 2, 3, 0, 0, 0, 1])
+        out = offset_local_pose(pose, [0.5, 0, 0])
+        np.testing.assert_allclose(pose_stamped2list(out)[:3], [1.5, 2, 3],
+                                   atol=1e-9)
+        # 90-degree yaw: local +x is world +y
+        pose = list2pose_stamped([0, 0, 0] + list(quat_from_euler([0, 0, np.pi / 2])))
+        out = offset_local_pose(pose, [1.0, 0, 0])
+        np.testing.assert_allclose(pose_stamped2list(out)[:3], [0, 1, 0],
+                                   atol=1e-9)
+
+    def test_rotate_local_pose(self):
+        from mmdyn_tpu.sim.geometry import rotate_local_pose
+        pose = list2pose_stamped([0.3, 0, 0, 0, 0, 0, 1])
+        out = rotate_local_pose(pose, [0, 0, np.pi / 2])
+        q = pose_stamped2list(out)[3:]
+        np.testing.assert_allclose(np.abs(q), np.abs(quat_from_euler([0, 0, np.pi / 2])),
+                                   atol=1e-9)
+
+    def test_get_2d_pose_and_unwrap(self):
+        from mmdyn_tpu.sim.geometry import get_2d_pose, unwrap
+        pose = list2pose_stamped([1, 2, 0] + list(quat_from_euler([0, 0, 0.7])))
+        out = get_2d_pose(pose)
+        np.testing.assert_allclose(out, [1, 2, 0.7], atol=1e-9)
+        np.testing.assert_allclose(unwrap([3.5 * np.pi / 2 + np.pi, -4.0]),
+                                   [3.5 * np.pi / 2 + np.pi - 2 * np.pi,
+                                    -4.0 + 2 * np.pi], atol=1e-12)
+
+    def test_convert_reference_frame_list(self):
+        from mmdyn_tpu.sim.geometry import convert_reference_frame_list
+        poses = [list2pose_stamped([i, 0, 0, 0, 0, 0, 1]) for i in range(3)]
+        out = convert_reference_frame_list(poses, unit_pose(), unit_pose())
+        for a, b in zip(out, poses):
+            np.testing.assert_allclose(pose_stamped2list(a),
+                                       pose_stamped2list(b), atol=1e-12)
