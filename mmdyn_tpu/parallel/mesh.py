@@ -28,18 +28,40 @@ from mmdyn_tpu.config import DEFAULT_MESH_AXIS
 
 
 def make_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None,
-              axis_name: str = DEFAULT_MESH_AXIS) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+              axis_name: str = DEFAULT_MESH_AXIS,
+              mesh_shape: Optional[Sequence[int]] = None,
+              axis_names: Optional[Sequence[str]] = None) -> Mesh:
+    """Data-parallel mesh over the first ``num_devices`` devices.
+
+    1-D ``('data',)`` by default. Pass ``mesh_shape`` (e.g. ``(2, 4)``) for a
+    multi-axis layout — axes default to ``('replica', 'data')`` for 2-D,
+    mirroring a multi-host DP arrangement (outer axis = hosts over DCN, inner
+    = chips over ICI). The batch still shards over every axis (pure DP); the
+    shape only changes the device→shard mapping, proving the abstraction
+    supports multi-host growth (SURVEY.md section 2.3).
+    """
     if devices is None:
         devices = jax.devices()
+    if mesh_shape is not None:
+        n = int(np.prod(mesh_shape))
+        if num_devices is not None and num_devices != n:
+            raise ValueError(f"mesh_shape {tuple(mesh_shape)} needs {n} "
+                             f"devices, num_devices={num_devices}")
+        if axis_names is None:
+            axis_names = (("replica", axis_name) if len(mesh_shape) == 2 else
+                          tuple(f"axis{i}" for i in range(len(mesh_shape) - 1))
+                          + (axis_name,))
+        dev_array = np.asarray(devices[:n]).reshape(tuple(mesh_shape))
+        return Mesh(dev_array, tuple(axis_names))
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = DEFAULT_MESH_AXIS) -> NamedSharding:
-    """Leading-axis sharding for batch pytrees."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh, axis_name: Optional[str] = None) -> NamedSharding:
+    """Leading-axis sharding for batch pytrees (over ALL mesh axes)."""
+    axes = (axis_name,) if axis_name is not None else tuple(mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -60,6 +60,7 @@ class Problem:
         for d in (self.log_dir, self.checkpoint_dir, self.tensorboard_dir,
                   self.plot_dir):
             d.mkdir(parents=True, exist_ok=True)
+        self.writer = MetricWriter(self.tensorboard_dir, tensorboard=tensorboard)
 
         # --- dataset ---
         dd = dataset_setup(dataset_path, cfg.problem_type,
@@ -70,13 +71,16 @@ class Problem:
         self.train_loader = dd["train_loader"]
         self.test_loader = dd["test_loader"]
         self.seq_length = dd["seq_length"]
-        print(self.seq_length)
-        print(len(self.train_dataset), len(self.test_dataset))
+        print(f"dataset: {len(self.train_dataset)} train / "
+              f"{len(self.test_dataset)} test sequences  "
+              f"(seq_length {self.seq_length})")
         if len(self.test_loader) == 0:
-            print(f"WARNING: test split ({len(self.test_dataset)} sequences) "
-                  f"is smaller than the batch size ({cfg.batchsize}) and "
-                  f"drop_last is on (reference semantics) — validation loss "
-                  f"will read 0. Use a smaller batch or more data.")
+            msg = (f"test split ({len(self.test_dataset)} sequences) is "
+                   f"smaller than the batch size ({cfg.batchsize}) and "
+                   f"drop_last is on (reference semantics) — validation loss "
+                   f"will read 0. Use a smaller batch or more data.")
+            print(f"WARNING: {msg}")
+            self.writer.text("warnings/empty_test_split", msg)
 
         # --- condition dim (the shock-force width, problems.py:675-681) ---
         condition_dim = self.train_dataset.shock_dim
@@ -101,8 +105,6 @@ class Problem:
 
         if resume:
             self._resume()
-
-        self.writer = MetricWriter(self.tensorboard_dir, tensorboard=tensorboard)
 
     # ------------------------------------------------------------------
     def _build_model(self):

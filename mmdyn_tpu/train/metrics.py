@@ -64,6 +64,14 @@ class MetricWriter:
     def image_grid(self, tag, images_nhwc, step, nrow=8):
         self.image(tag, make_grid(np.asarray(images_nhwc), nrow=nrow), step)
 
+    def text(self, tag, message, step=0):
+        """Log a text record (warnings, run notes) to JSONL + TensorBoard."""
+        rec = {"tag": tag, "text": str(message), "step": int(step),
+               "time": time.time()}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            self._tb.add_text(tag, str(message), int(step))
+
     def histogram(self, tag, values, step):
         if self._tb is not None:
             self._tb.add_histogram(tag, np.asarray(values), int(step))

@@ -117,6 +117,28 @@ class TestMultiDevice:
         leaf = jax.tree_util.tree_leaves(state.params)[0]
         assert leaf.sharding.is_fully_replicated
 
+    @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (2, 2, 2)])
+    def test_dp_on_multi_axis_mesh_matches_1d(self, mesh_shape):
+        """The mesh abstraction isn't hardcoded 1-D: a (2,4)/(4,2)/(2,2,2)
+        device layout (multi-host DP shape: outer axis = DCN, inner = ICI)
+        gives the identical loss as the flat 8-device mesh."""
+        cfg = _small_cfg(batchsize=8)
+        model, tx, state = _vae_model_and_state(cfg)
+        estep = make_eval_step(cfg, model)
+        batch = _batch(B=8)
+
+        mesh_1d = make_mesh(8)
+        m1, _ = estep(replicate(mesh_1d, state).params,
+                      shard_batch(mesh_1d, batch), jax.random.PRNGKey(0),
+                      jnp.float32(1.0))
+
+        mesh_nd = make_mesh(mesh_shape=mesh_shape)
+        assert mesh_nd.devices.shape == mesh_shape
+        m2, _ = estep(replicate(mesh_nd, state).params,
+                      shard_batch(mesh_nd, batch), jax.random.PRNGKey(0),
+                      jnp.float32(1.0))
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+
     def test_dp_matches_single_device(self):
         """Same batch, same rng: DP-sharded loss == single-device loss."""
         mesh = make_mesh(8)
