@@ -20,9 +20,21 @@ from mmdyn_tpu.sim import config
 
 
 def graphics_root(path=None) -> Path:
+    """Asset root resolution: explicit arg > MMDYN_GRAPHICS_ROOT env var >
+    ./graphics (cwd) > the repo-bundled graphics/ (procedurally generated
+    winebottle/bowl meshes, mirroring the reference's graphics/objects/)."""
     if path is not None:
         return Path(path)
-    return Path(os.environ.get("MMDYN_GRAPHICS_ROOT", "graphics"))
+    env = os.environ.get("MMDYN_GRAPHICS_ROOT")
+    if env:
+        return Path(env)
+    cwd_root = Path("graphics")
+    if cwd_root.is_dir():
+        return cwd_root
+    bundled = Path(__file__).resolve().parents[2] / "graphics"
+    if bundled.is_dir():
+        return bundled
+    return cwd_root
 
 
 def preload_object(name="winebottle", n_objects=1, graphics_root_path=None):
@@ -67,8 +79,12 @@ def preload_shapenet_sem(path=None, category=("FoodItem",)):
     import pandas as pd
 
     root = graphics_root().joinpath("ShapeNetSem") if path is None else Path(path)
-    meta_df = pd.read_csv(root.joinpath("metadata.csv"))
-    synset_df = pd.read_csv(root.joinpath("categories.synset.csv"))
+    # synset ids are zero-padded strings ("02880940"); force str so pandas
+    # doesn't coerce them to int (breaking joins and dump-path construction)
+    meta_df = pd.read_csv(root.joinpath("metadata.csv"),
+                          dtype={"fullId": str, "wnsynset": str})
+    synset_df = pd.read_csv(root.joinpath("categories.synset.csv"),
+                            dtype={"synset": str, "category": str})
 
     category = list(category)
     if category and category[0] != "":
@@ -96,11 +112,14 @@ def preload_shapenet_sem(path=None, category=("FoodItem",)):
 
 
 def parse_shapenet_sem(row, root):
-    """One metadata row -> object record with colors/texture probe + trimesh
-    centroid/extents (dataset.py:143-198)."""
-    from pywavefront.material import MaterialParser
-    import trimesh
-    from trimesh.points import PointCloud
+    """One metadata row -> object record with colors/texture probe + mesh
+    centroid/extents (dataset.py:143-198).
+
+    Uses the first-party OBJ/MTL parsers (sim/meshio.py) in place of the
+    reference's pywavefront MaterialParser + trimesh PointCloud — identical
+    quantities (ambient RGBA per material, texture presence, vertex-mean
+    centroid, bbox z-extent), zero native deps."""
+    from mmdyn_tpu.sim.meshio import load_obj, parse_mtl
 
     obj_name = row["fullId"]
     scale = row["unit"]
@@ -109,18 +128,15 @@ def parse_shapenet_sem(row, root):
 
     colors = []
     textured_material = False
-    materials = MaterialParser(file_name=mtl).materials
-    for _, v in materials.items():
+    for v in parse_mtl(mtl).values():
+        # chromatic ambient = usable colour (dataset.py:155-158)
         if len(set(v.ambient[:-1])) > 1:
-            colors.append(v.ambient)
+            colors.append(list(v.ambient))
         if v.texture is not None:
             textured_material = True
 
-    mesh = trimesh.load_mesh(obj, "obj")
-    if isinstance(mesh, trimesh.Scene):
-        mesh = mesh.dump().sum()
-    pcl = PointCloud(mesh.vertices)
-    center_mass = np.array(pcl.centroid) * scale
+    mesh = load_obj(obj)
+    center_mass = np.array(mesh.centroid) * scale
     mesh_height = np.array(mesh.extents[-1]) * scale
 
     return {
