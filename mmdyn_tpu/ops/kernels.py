@@ -31,11 +31,16 @@ backward, given upstream dz, dpd_mu_up, dpd_lv_up:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from mmdyn_tpu.config import POE_EPS
+
+# Opt-in for the fused masked-BCE+reduce kernel (measured against plain XLA
+# fusion in docs/PARITY.md; see fused_masked_bce_sum below).
+FUSED_BCE = os.environ.get("MMDYN_FUSED_BCE", "0") == "1"
 
 
 def _use_pallas(mu=None):
@@ -183,3 +188,111 @@ def _bwd(res, grads):
 
 
 fused_poe_reparam.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused masked BCE-with-logits + sum reduction
+# ---------------------------------------------------------------------------
+#
+# loss = sum_{k,b,p} max(x,0) - x*z + log1p(exp(-|x|)),
+#   with x = logits_{kbp} * m_{bp},  z = target_{bp} * m_{bp}  (mask optional)
+#
+# The jnp path broadcasts the target over the K subset axis and lets XLA fuse
+# (reference loss: problems.py:421-458). The Pallas path streams (K, Bb, P)
+# logit tiles through VMEM, applying broadcast+mask+BCE+partial-reduce in one
+# pass — one partial sum per grid block, summed outside. Backward is analytic:
+#   dlogits = g * m * (sigmoid(x) - z)        (targets/mask are data)
+
+
+def _bce_jnp(logits, target, mask):
+    x = logits
+    z = jnp.broadcast_to(target[None], logits.shape)
+    if mask is not None:
+        x = x * mask[None]
+        z = z * jnp.broadcast_to(mask[None], z.shape)
+    return jnp.sum(jnp.maximum(x, 0.0) - x * z
+                   + jnp.log1p(jnp.exp(-jnp.abs(x))))
+
+
+def _bce_kernel(logits_ref, target_ref, mask_ref, out_ref):
+    x = logits_ref[:]                               # (K, Bb, P)
+    z = target_ref[:][None]                         # (1, Bb, P)
+    if mask_ref is not None:
+        m = mask_ref[:][None]
+        x = x * m
+        z = z * m
+    loss = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    out_ref[0, 0] = jnp.sum(loss)
+
+
+def _bce_kernel_nomask(logits_ref, target_ref, out_ref):
+    _bce_kernel(logits_ref, target_ref, None, out_ref)
+
+
+def _bce_pallas(logits, target, mask):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k, b, p = logits.shape
+    # VMEM budget: (K + 2) * block_b * P floats; aim under ~8 MB
+    block_b = max(8, (2 ** 21 // ((k + 2) * p)) * 8)
+    block_b = min(b, block_b)
+    while b % block_b:
+        block_b //= 2
+    grid = (b // block_b,)
+
+    logits_spec = pl.BlockSpec((k, block_b, p), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((block_b, p), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1), lambda i: (i, 0),
+                            memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((grid[0], 1), jnp.float32)
+    if mask is None:
+        partials = pl.pallas_call(
+            _bce_kernel_nomask, grid=grid,
+            in_specs=[logits_spec, row_spec], out_specs=out_spec,
+            out_shape=out_shape)(logits, target)
+    else:
+        partials = pl.pallas_call(
+            _bce_kernel, grid=grid,
+            in_specs=[logits_spec, row_spec, row_spec], out_specs=out_spec,
+            out_shape=out_shape)(logits, target, mask)
+    return jnp.sum(partials)
+
+
+def _bce_lane_ok(logits):
+    k, b, p = logits.shape
+    return p % 128 == 0 and b % 8 == 0
+
+
+@jax.custom_vjp
+def fused_masked_bce_sum(logits, target, mask):
+    """Sum-reduced BCE-with-logits of (K, B, P) logits vs a shared (B, P)
+    target, optionally masked by (B, P) ``mask`` (multiplying both sides,
+    problems.py:409-411 semantics). Pallas on TPU for lane-aligned shapes
+    when MMDYN_FUSED_BCE=1; XLA-fused jnp otherwise."""
+    if FUSED_BCE and jax.default_backend() == "tpu" and _bce_lane_ok(logits):
+        return _bce_pallas(logits, target, mask)
+    return _bce_jnp(logits, target, mask)
+
+
+def _bce_fwd(logits, target, mask):
+    return fused_masked_bce_sum(logits, target, mask), (logits, target, mask)
+
+
+def _bce_bwd(res, g):
+    logits, target, mask = res
+    if mask is None:
+        x = logits
+        z = target[None]
+    else:
+        x = logits * mask[None]
+        z = (target * mask)[None]
+    d = g * (jax.nn.sigmoid(x) - z)
+    if mask is not None:
+        d = d * mask[None]
+    return d, None, None
+
+
+fused_masked_bce_sum.defvjp(_bce_fwd, _bce_bwd)

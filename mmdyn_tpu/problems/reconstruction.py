@@ -56,13 +56,16 @@ POSE_LOSS_POSE = (3, 4, 5, 6)
 
 
 def _img_recon_sum(recons, target, loss_mask):
-    """Sum-reduced BCE-with-logits of (K, B, H, W, C) recons vs one target."""
-    t = jnp.broadcast_to(target[None], recons.shape)
-    if loss_mask is not None:
-        m = loss_mask[None]
-        recons = recons * m
-        t = t * jnp.broadcast_to(m, t.shape)
-    return bce_with_logits(recons, t, reduction="sum")
+    """Sum-reduced BCE-with-logits of (K, B, H, W, C) recons vs one target.
+    Routed through fused_masked_bce_sum: broadcast + mask + BCE + reduce in
+    one pass (Pallas on TPU behind MMDYN_FUSED_BCE; XLA fusion otherwise)."""
+    from mmdyn_tpu.ops.kernels import fused_masked_bce_sum
+
+    k, b = recons.shape[:2]
+    flat = lambda a: jnp.reshape(a, a.shape[:a.ndim - 3] + (-1,))
+    return fused_masked_bce_sum(
+        jnp.reshape(recons, (k, b, -1)), flat(target),
+        None if loss_mask is None else flat(loss_mask))
 
 
 def mvae_evaluate(model, variables, rng, inputs, targets, kl_weight, cfg):
