@@ -56,22 +56,30 @@ def sample_positions(mean_position, n_objects, orientation=(0, 0, 0, 1),
 
 def sample_point_on_mesh(mesh, base_position=(0, 0, 0),
                          base_orientation=(0, 0, 0, 1), scale=1):
-    """Sample a surface point + local frame from a trimesh mesh
-    (sample.py:12-57). Requires trimesh."""
-    import trimesh
+    """Sample a surface point + local frame from a mesh (sample.py:12-57).
 
+    Accepts a first-party meshio.Mesh (or any object exposing vertices/faces
+    with sample_surface()/face_normals()); trimesh meshes also work when
+    trimesh is installed."""
     if isinstance(scale, list):
         scale = scale[0]
-    if isinstance(mesh, trimesh.Scene):
-        mesh = mesh.dump().sum()
 
     transformation_mat = get_transformation_matrix(translation=base_position,
                                                    rotation=base_orientation)
     rotation_mat = get_rotation_matrix(rotation=base_orientation)
 
-    point, face_idx = trimesh.sample.sample_surface(mesh, count=1)
-    tri_points = mesh.vertices[mesh.faces[face_idx]]
-    normal = mesh.face_normals[face_idx]
+    from mmdyn_tpu.sim.meshio import Mesh as _MeshIO
+    if isinstance(mesh, _MeshIO):
+        point, face_idx = mesh.sample_surface(1)
+        tri_points = mesh.vertices[mesh.faces[face_idx]]
+        normal = mesh.face_normals()[face_idx]
+    else:
+        import trimesh
+        if isinstance(mesh, trimesh.Scene):
+            mesh = mesh.dump().sum()
+        point, face_idx = trimesh.sample.sample_surface(mesh, count=1)
+        tri_points = mesh.vertices[mesh.faces[face_idx]]
+        normal = mesh.face_normals[face_idx]
 
     point = scale * point
     tri_points = (scale * tri_points).squeeze()

@@ -290,3 +290,23 @@ def test_preload_object_resolves_bundled_assets(tmp_path, monkeypatch):
     assert Path(info["obj"]).is_file() and info["scale"] == [1.0] * 3
     multi = preload_object("winebottle", n_objects=3)
     assert len(multi["obj"]) == 3
+
+
+def test_sample_point_on_mesh_with_meshio():
+    """sample_point_on_mesh parity path (sample.py:12-57) runs on the
+    first-party mesh loader — point lies on the surface, frame orthonormal."""
+    from mmdyn_tpu.sim.meshio import load_obj
+    from mmdyn_tpu.sim.sample import sample_point_on_mesh
+    np.random.seed(0)
+    mesh = load_obj(BOWL_OBJ)
+    point, normal, rot = sample_point_on_mesh(
+        mesh, base_position=(1, 2, 3), base_orientation=(0, 0, 0, 1), scale=2)
+    assert point.shape == (3,) and normal.shape == (3,)
+    assert rot.shape == (4, 4) and rot[3, 3] == 1
+    # columns orthonormal
+    r = rot[:3, :3]
+    np.testing.assert_allclose(np.linalg.norm(r, axis=0), 1.0, atol=1e-6)
+    # the sampled point lies within the scaled+offset bbox
+    lo = mesh.vertices.min(0) * 2 + np.array([1, 2, 3])
+    hi = mesh.vertices.max(0) * 2 + np.array([1, 2, 3])
+    assert np.all(point >= lo - 1e-6) and np.all(point <= hi + 1e-6)
