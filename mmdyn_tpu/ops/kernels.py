@@ -215,6 +215,8 @@ def _bce_jnp(logits, target, mask):
 
 
 def _bce_kernel(logits_ref, target_ref, mask_ref, out_ref):
+    from jax.experimental import pallas as pl
+
     x = logits_ref[:]                               # (K, Bb, P)
     z = target_ref[:][None]                         # (1, Bb, P)
     if mask_ref is not None:
@@ -222,7 +224,14 @@ def _bce_kernel(logits_ref, target_ref, mask_ref, out_ref):
         x = x * m
         z = z * m
     loss = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
-    out_ref[0, 0] = jnp.sum(loss)
+
+    # TPU grid steps run sequentially: accumulate into the single (1, 1)
+    # output block (initialised on the first step)
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[0, 0] = 0.0
+
+    out_ref[0, 0] += jnp.sum(loss)
 
 
 def _bce_kernel_nomask(logits_ref, target_ref, out_ref):
@@ -234,9 +243,15 @@ def _bce_pallas(logits, target, mask):
     from jax.experimental.pallas import tpu as pltpu
 
     k, b, p = logits.shape
-    # VMEM budget: (K + 2) * block_b * P floats; aim under ~8 MB
-    block_b = max(8, (2 ** 21 // ((k + 2) * p)) * 8)
-    block_b = min(b, block_b)
+    # VMEM budget: the logits block plus x/z/loss intermediates are each
+    # (K, block_b, P) floats (~4K arrays) + 2 row blocks; stay under the 16 MB
+    # scoped-vmem limit with headroom. Use the largest power-of-two block that
+    # divides b (Mosaic needs the sublane dim divisible by 8, and
+    # power-of-two blocks always halve into a divisor).
+    budget_b = max(8, 2 ** 21 // ((4 * k + 3) * p))
+    block_b = 8
+    while block_b * 2 <= min(b, budget_b):
+        block_b *= 2
     while b % block_b:
         block_b //= 2
     grid = (b // block_b,)
@@ -245,20 +260,20 @@ def _bce_pallas(logits, target, mask):
                                memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((block_b, p), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
-    out_shape = jax.ShapeDtypeStruct((grid[0], 1), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
     if mask is None:
-        partials = pl.pallas_call(
+        total = pl.pallas_call(
             _bce_kernel_nomask, grid=grid,
             in_specs=[logits_spec, row_spec], out_specs=out_spec,
             out_shape=out_shape)(logits, target)
     else:
-        partials = pl.pallas_call(
+        total = pl.pallas_call(
             _bce_kernel, grid=grid,
             in_specs=[logits_spec, row_spec, row_spec], out_specs=out_spec,
             out_shape=out_shape)(logits, target, mask)
-    return jnp.sum(partials)
+    return total[0, 0]
 
 
 def _bce_lane_ok(logits):

@@ -28,7 +28,7 @@ sys.path.insert(0, str(REPO))
 V5E_PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
 
 
-def build(batch, latent, bf16):
+def build(batch, latent, bf16, remat=False):
     import jax
     import jax.numpy as jnp
     from mmdyn_tpu.models import setup_model
@@ -41,7 +41,7 @@ def build(batch, latent, bf16):
     cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
                         input_type="visuotactile", use_pose=True,
                         latent_size=latent, batchsize=batch,
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype, remat=remat)
     model = setup_model("cnn-mvae", cross_modal=True, latent_size=latent,
                         use_pose=True, architecture="cnn",
                         compute_dtype=compute_dtype)
@@ -82,6 +82,7 @@ def main():
     ap.add_argument("--latent", type=int, default=256)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false",
                     default=True)
+    ap.add_argument("--remat", action="store_true", default=False)
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -97,7 +98,7 @@ def main():
     from mmdyn_tpu.problems.reconstruction import mvae_evaluate
 
     cfg, model, state, tx, step_fn, data = build(args.batch, args.latent,
-                                                 args.bf16)
+                                                 args.bf16, remat=args.remat)
     key = jax.random.PRNGKey(1)
     kl = jnp.float32(1.0)
 
