@@ -157,6 +157,7 @@ class TestMultiDevice:
 class TestLoopEndToEnd:
     @pytest.mark.parametrize("model_name,input_type,use_pose", [
         ("cnn-vae", "visual", False),
+        ("mlp-vae", "visual", False),
         ("cnn-mvae", "visuotactile", True),
     ])
     def test_problem_trains_and_checkpoints(self, tmp_path, model_name,
