@@ -49,6 +49,8 @@ def main(argv=None):
     m = load_metrics(args.run)
     train = m.get("Loss/train_epoch", [])
     val = m.get("Loss/validation_epoch", [])
+    if val and not any(val):
+        val = []          # empty test loader (batch > split): no curve
     assert train, f"no Loss/train_epoch records in {args.run}"
     epochs = list(range(len(train)))
 
