@@ -109,18 +109,34 @@ class PointCloud:
 
 class ImageBuffer:
     """Ring buffer of rgb/depth/seg/z/t frames with nearest-query retrieval
-    (utils.py:121-231)."""
+    (utils.py:121-231).
 
-    def __init__(self, img_width, img_height, size, n_channel=3):
+    Parity quirk (deliberate, see docs/PARITY.md): the reference allocates the
+    segmentation buffer as **uint8** (utils.py:129), so the clipped
+    "no object" value -1 wraps to **255** in every frame retrieved from the
+    buffer — force-mode equilibrium images therefore carry 255, not -1, in
+    clipped pixels. We replicate that by default; pass ``seg_dtype=np.int32``
+    to keep signed ids (e.g. scenes with >254 bodies). Two reference bugs are
+    NOT replicated: its ``reset()`` reallocates with the current fill count
+    instead of the capacity (utils.py:196-201), which shrinks the buffer and
+    crashes the next ``store`` after an early-fill reset; and values are
+    silently truncated rather than range-checked.
+    """
+
+    def __init__(self, img_width, img_height, size, n_channel=3,
+                 seg_dtype=np.uint8):
         self.img_width, self.img_height, self.n_channel = (img_width,
                                                            img_height, n_channel)
         self.max_size = size
+        self.seg_dtype = np.dtype(seg_dtype)
         self.reset()
 
     def store(self, rgb_img, depth_img, seg_img, obj_z, t):
         self.rgb_buf[self.ptr] = np.asarray(rgb_img)[:, :, :self.n_channel].reshape(-1)
         self.depth_buf[self.ptr] = np.asarray(depth_img).reshape(-1)
-        self.seg_buf[self.ptr] = np.asarray(seg_img).reshape(-1)
+        # uint8 default wraps -1 -> 255, matching the reference (utils.py:129)
+        self.seg_buf[self.ptr] = np.asarray(seg_img).reshape(-1).astype(
+            self.seg_dtype, copy=False)
         self.z_buf[self.ptr] = obj_z
         self.t_buf[self.ptr] = t
         self.ptr = (self.ptr + 1) % self.max_size
@@ -150,7 +166,7 @@ class ImageBuffer:
         n = self.img_width * self.img_height
         self.rgb_buf = np.zeros((self.max_size, n * self.n_channel), np.uint8)
         self.depth_buf = np.zeros((self.max_size, n), np.float32)
-        self.seg_buf = np.zeros((self.max_size, n), np.int32)
+        self.seg_buf = np.zeros((self.max_size, n), self.seg_dtype)
         self.z_buf = np.zeros(self.max_size, np.float32)
         self.t_buf = np.zeros(self.max_size, np.float32)
         self.ptr, self.size = 0, 0

@@ -309,6 +309,27 @@ class TestForceModeAndExtras:
         buf.reset()
         assert buf.pointer == 0
 
+    def test_image_buffer_seg_uint8_wrap_quirk(self):
+        """The reference stores seg in a uint8 buffer (utils.py:129), so the
+        clipped value -1 wraps to 255 in retrieved frames; int32 is opt-in."""
+        from mmdyn_tpu.sim.utils import ImageBuffer
+        rgb = np.zeros((3, 4, 3), np.uint8)
+        depth = np.zeros((3, 4), np.float32)
+        seg = np.full((3, 4), -1, np.int32)
+        buf = ImageBuffer(4, 3, size=2)
+        buf.store(rgb, depth, seg, obj_z=0.0, t=0.0)
+        assert buf.get()["seg_img"].dtype == np.uint8
+        assert (buf.get()["seg_img"] == 255).all()
+        signed = ImageBuffer(4, 3, size=2, seg_dtype=np.int32)
+        signed.store(rgb, depth, seg, obj_z=0.0, t=0.0)
+        assert (signed.get()["seg_img"] == -1).all()
+        # reset preserves capacity (reference's reset() shrinks to the fill
+        # count, utils.py:196-201 — a bug we do not replicate)
+        buf.reset()
+        buf.store(rgb, depth, seg, 0.0, 0.0)
+        buf.store(rgb, depth, seg, 0.0, 0.0)
+        assert buf.pointer == 0 and buf.size == 2  # wrapped at capacity
+
     def test_video_writer(self, tmp_path):
         from mmdyn_tpu.sim.utils import Video
         v = Video(width=64, height=48, file_name="clip", logdir=str(tmp_path))
