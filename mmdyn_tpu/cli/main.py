@@ -68,6 +68,13 @@ def build_parser():
                         help="Capture a jax.profiler trace of epoch 1 here")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="Rematerialise activations in the backward pass")
+    parser.add_argument("--augment", action="store_true", default=False,
+                        help="On-device train-time augmentation (flip/shift/"
+                             "brightness; image-only problems)")
+    parser.add_argument("--augment-shift", type=int, default=4,
+                        help="Max translation in pixels for --augment")
+    parser.add_argument("--augment-brightness", type=float, default=0.1,
+                        help="Max relative brightness jitter for --augment")
     return parser
 
 
@@ -104,6 +111,9 @@ def main(argv=None):
         num_epochs=args.num_epochs,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         remat=args.remat,
+        augment=args.augment,
+        augment_shift=args.augment_shift,
+        augment_brightness=args.augment_brightness,
     )
     mesh = make_mesh(args.num_devices) if args.num_devices else None
 

@@ -36,11 +36,20 @@ class ProblemConfig:
     categorical_conditions: bool = False
     compute_dtype: str = "float32"   # "bfloat16" feeds the MXU at full rate
     remat: bool = False              # rematerialise activations in backward
+    augment: bool = False            # on-device train-time augmentation
+    augment_shift: int = 4           # max |pixels| of random translation
+    augment_brightness: float = 0.1  # max relative brightness jitter
 
     def __post_init__(self):
         assert self.problem_type in cfg_mod.PROBLEM_TYPES, "Invalid problem type."
         assert self.input_type in cfg_mod.INPUT_TYPES, "Input type is not implemented"
         assert self.optimizer in cfg_mod.OPTIMIZERS, "loss name not implemented in Problem"
+        if self.augment:
+            # geometric augmentation is image-space; pose targets/inputs and
+            # the regression pose objective would silently decohere
+            assert not self.use_pose and self.problem_type != "regression", (
+                "--augment supports image-only problems (visual/tactile/"
+                "visuotactile without --use-pose)")
 
     @property
     def cross_modal(self) -> bool:

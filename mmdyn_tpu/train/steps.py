@@ -19,9 +19,15 @@ import optax
 
 from mmdyn_tpu.problems.base import ProblemConfig
 from mmdyn_tpu.problems.specs import evaluate, parse_batch
+from mmdyn_tpu.problems.transforms import augment_batch
 
 
-def _loss_fn(params, model, cfg, batch, rng, kl_weight):
+def _loss_fn(params, model, cfg, batch, rng, kl_weight, train=False):
+    if train and cfg.augment:
+        # train-time only; rng split leaves the no-augment path bit-identical
+        rng, aug_key = jax.random.split(rng)
+        batch = augment_batch(batch, aug_key, max_shift=cfg.augment_shift,
+                              brightness=cfg.augment_brightness)
     inputs, targets = parse_batch(cfg, batch)
 
     def run(params, inputs, targets, rng, kl_weight):
@@ -43,7 +49,7 @@ def make_train_step(cfg: ProblemConfig, model, tx: optax.GradientTransformation)
     def train_step(state, batch, rng, kl_weight):
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (loss, aux), grads = grad_fn(state.params, model, cfg, batch, rng,
-                                     kl_weight)
+                                     kl_weight, True)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,

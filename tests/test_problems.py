@@ -110,6 +110,73 @@ class TestTransforms:
         np.testing.assert_array_equal(got, x.reshape(24, 8))
 
 
+class TestAugment:
+    def _batch(self, B=4, T=3):
+        rng = np.random.default_rng(3)
+        f = lambda *s: jnp.array(rng.uniform(size=s).astype(np.float32))
+        return {
+            "visual": f(B, T, 16, 16, 3), "tactile": f(B, T, 16, 16, 3),
+            "final_visual": f(B, 16, 16, 3), "final_tactile": f(B, 16, 16, 3),
+            "seg": f(B, T, 16, 16, 3), "avail": f(B, T, 2),
+        }
+
+    def test_shapes_range_and_determinism(self):
+        from mmdyn_tpu.problems.transforms import augment_batch
+        batch = self._batch()
+        key = jax.random.PRNGKey(7)
+        out = augment_batch(batch, key)
+        for k, v in batch.items():
+            assert out[k].shape == v.shape
+        assert float(jnp.min(out["visual"])) >= 0.0
+        assert float(jnp.max(out["visual"])) <= 1.0
+        # same key -> identical; different key -> different
+        again = augment_batch(batch, key)
+        np.testing.assert_array_equal(np.asarray(out["visual"]),
+                                      np.asarray(again["visual"]))
+        other = augment_batch(batch, jax.random.PRNGKey(8))
+        assert not np.array_equal(np.asarray(out["visual"]),
+                                  np.asarray(other["visual"]))
+        # non-image fields untouched
+        np.testing.assert_array_equal(np.asarray(out["avail"]),
+                                      np.asarray(batch["avail"]))
+
+    def test_geometry_coherent_across_fields(self):
+        """seg / finals get the identical flip+shift as the frames (brightness
+        must not touch seg), so dynamics targets stay aligned."""
+        from mmdyn_tpu.problems.transforms import augment_batch
+        batch = self._batch()
+        # make every image field identical so any geometric transform must
+        # map them identically
+        same_seq = batch["visual"]
+        batch = dict(batch, tactile=same_seq, seg=same_seq,
+                     final_visual=same_seq[:, 0], final_tactile=same_seq[:, 0])
+        out = augment_batch(batch, jax.random.PRNGKey(11), brightness=0.0)
+        np.testing.assert_allclose(np.asarray(out["visual"]),
+                                   np.asarray(out["seg"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["visual"][:, 0]),
+                                   np.asarray(out["final_visual"]), rtol=1e-6)
+
+    def test_frames_share_sequence_transform(self):
+        """All frames of one sequence see the same flip/shift (physical
+        coherence of the rollout)."""
+        from mmdyn_tpu.problems.transforms import augment_batch
+        rng = np.random.default_rng(5)
+        frame = rng.uniform(size=(4, 1, 16, 16, 3)).astype(np.float32)
+        seq = jnp.array(np.repeat(frame, 3, axis=1))  # identical frames
+        batch = {"visual": seq}
+        out = np.asarray(augment_batch(batch, jax.random.PRNGKey(2))["visual"])
+        np.testing.assert_allclose(out[:, 0], out[:, 1], rtol=1e-6)
+        np.testing.assert_allclose(out[:, 0], out[:, 2], rtol=1e-6)
+
+    def test_config_guards(self):
+        with pytest.raises(AssertionError):
+            ProblemConfig(problem_type="seq_modeling", input_type="visuotactile",
+                          use_pose=True, augment=True)
+        with pytest.raises(AssertionError):
+            ProblemConfig(problem_type="regression", input_type="visual",
+                          model_name="regressor", augment=True)
+
+
 class TestParsing:
     def _batch(self, B=2, T=3, S=1):
         rng = np.random.default_rng(0)
