@@ -40,7 +40,7 @@ METRIC = "cnn-mvae visuotactile+pose seq_modeling train throughput (frames/sec/c
 
 def bench_train(problem_type="seq_modeling", model_name="cnn-mvae",
                 input_type="visuotactile", use_pose=True, batch=512, steps=50,
-                latent=256, bf16=True, seq_len=2):
+                latent=256, bf16=True, seq_len=2, dtype=None):
     """Shared benchmark core: build the config/model/state, run `steps`
     dependency-chained train steps, and time them ending with host transfers
     (the tunnel's block_until_ready can return with work still in flight;
@@ -52,7 +52,7 @@ def bench_train(problem_type="seq_modeling", model_name="cnn-mvae",
     from mmdyn_tpu.train.state import create_train_state
     from mmdyn_tpu.train.steps import make_train_step
 
-    compute_dtype = "bfloat16" if bf16 else "float32"
+    compute_dtype = dtype or ("bfloat16" if bf16 else "float32")
     cfg = ProblemConfig(problem_type=problem_type, model_name=model_name,
                         input_type=input_type, use_pose=use_pose,
                         latent_size=latent, batchsize=batch,
@@ -114,9 +114,9 @@ def bench_train(problem_type="seq_modeling", model_name="cnn-mvae",
     return frames / step_time, step_time, loss
 
 
-def bench_jax(batch, steps, latent, bf16=False):
+def bench_jax(batch, steps, latent, bf16=False, dtype=None):
     fps, step_time, loss = bench_train(batch=batch, steps=steps, latent=latent,
-                                       bf16=bf16)
+                                       bf16=bf16, dtype=dtype)
     return fps, step_time, loss
 
 
@@ -159,6 +159,10 @@ def main():
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
+    ap.add_argument("--dtype", default=None,
+                    choices=["float32", "bfloat16", "bfloat16_full"],
+                    help="Activation policy (overrides --bf16); bfloat16_full "
+                         "keeps activations 2-byte end-to-end")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -169,7 +173,7 @@ def main():
         jax.config.update("jax_platform_name", args.platform)
 
     fps, step_time, loss = bench_jax(args.batch, args.steps, args.latent,
-                                     bf16=args.bf16)
+                                     bf16=args.bf16, dtype=args.dtype)
     print(f"# jax: {fps:.1f} frames/s  ({step_time*1e3:.2f} ms/step, "
           f"batch {args.batch}, loss {loss:.1f})", file=sys.stderr)
 

@@ -64,6 +64,9 @@ def build_parser():
                         help="Force a JAX platform (e.g. cpu)")
     parser.add_argument("--bf16", action="store_true", default=False,
                         help="bfloat16 matmul/conv inputs (f32 accumulate)")
+    parser.add_argument("--bf16-full", action="store_true", default=False,
+                        help="bfloat16 activations end-to-end (halves HBM "
+                             "traffic; stats/latent/loss math stay f32)")
     parser.add_argument("--profile-dir", default=None, type=str,
                         help="Capture a jax.profiler trace of epoch 1 here")
     parser.add_argument("--remat", action="store_true", default=False,
@@ -109,7 +112,8 @@ def main(argv=None):
         optimizer=args.optimizer,
         batchsize=args.batchsize,
         num_epochs=args.num_epochs,
-        compute_dtype="bfloat16" if args.bf16 else "float32",
+        compute_dtype=("bfloat16_full" if args.bf16_full
+                       else "bfloat16" if args.bf16 else "float32"),
         remat=args.remat,
         augment=args.augment,
         augment_shift=args.augment_shift,

@@ -63,14 +63,20 @@ class TrainBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # normalise over all axes but the channel axis (last)
+        # normalise over all axes but the channel axis (last); statistics
+        # always accumulate in f32 (bfloat16_full activations would lose the
+        # variance to squaring error otherwise)
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)  # biased
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)  # biased
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv * scale + bias
+        # the normalisation itself reads/writes the activation dtype: under
+        # bfloat16_full the (x - mean) * inv fusion moves 2-byte tensors
+        return ((x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+                * scale.astype(x.dtype) + bias.astype(x.dtype))
 
 
 def _cast_compute(x, kernel, compute_dtype):
@@ -81,12 +87,24 @@ def _cast_compute(x, kernel, compute_dtype):
     ``_uncast``."""
     if compute_dtype is None or compute_dtype == "float32":
         return x, kernel
-    dt = jnp.dtype(compute_dtype)
+    dt = jnp.bfloat16 if str(compute_dtype).startswith("bfloat16") else \
+        jnp.dtype(compute_dtype)
     return x.astype(dt), kernel.astype(dt)
 
 
-def _uncast(y):
-    """Return conv/matmul output in float32 for the elementwise path."""
+def _uncast(y, compute_dtype="float32"):
+    """Dtype of the tensor written at the layer boundary.
+
+    * ``float32`` / ``bfloat16``: upcast to float32 — the elementwise path
+      (bias/BN/swish) and the backward residuals live in f32.
+    * ``bfloat16_full``: keep bfloat16 — activations stay 2-byte end to end,
+      halving the HBM traffic of this bandwidth-bound workload (the DCGAN
+      step's arithmetic intensity is ~56 flop/byte vs the ~240 a v5e needs to
+      be compute-bound — see docs/PARITY.md roofline). Reductions (BatchNorm
+      statistics) and the latent/loss math still accumulate in f32.
+    """
+    if compute_dtype == "bfloat16_full":
+        return y
     return y.astype(jnp.float32) if y.dtype != jnp.float32 else y
 
 
@@ -115,10 +133,10 @@ class Conv2d(nn.Module):
             padding=[(self.padding, self.padding)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = _uncast(y)
+        y = _uncast(y, self.compute_dtype)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_ch * k * k), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -153,10 +171,10 @@ class ConvTranspose2d(nn.Module):
             lhs_dilation=(self.stride, self.stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = _uncast(y)
+        y = _uncast(y, self.compute_dtype)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(self.features * k * k), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -175,10 +193,10 @@ class Dense(nn.Module):
         xc, kc = _cast_compute(x, kernel, self.compute_dtype)
         y = _uncast(jnp.dot(xc, kc, preferred_element_type=jnp.float32)
                     if self.compute_dtype == "float32"
-                    else jnp.dot(xc, kc))
+                    else jnp.dot(xc, kc), self.compute_dtype)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_dim), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 

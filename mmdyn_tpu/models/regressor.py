@@ -56,4 +56,6 @@ class Regressor(nn.Module):
         x = jax.nn.relu(x)
         x = Dense(256, name="out_1", compute_dtype=dt)(x)
         x = jax.nn.relu(x)
-        return Dense(self.out_dim, name="out_2", compute_dtype=dt)(x)
+        # pose output in f32 regardless of the activation policy (MSE loss)
+        return Dense(self.out_dim, name="out_2",
+                     compute_dtype=dt)(x).astype(jnp.float32)

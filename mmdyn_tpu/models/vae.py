@@ -115,7 +115,9 @@ class Encoder(nn.Module):
         means = Dense(self.latent_size, name="linear_means", compute_dtype=dt)(x)
         log_vars = Dense(self.latent_size, name="linear_log_var",
                          compute_dtype=dt)(x)
-        return means, log_vars
+        # the latent path (PoE fusion, reparam, KL) always runs in f32, even
+        # under the bfloat16_full activation policy
+        return means.astype(jnp.float32), log_vars.astype(jnp.float32)
 
 
 class Decoder(nn.Module):
@@ -154,11 +156,14 @@ class Decoder(nn.Module):
             h = swish(h)
             h = ConvTranspose2d(3, 4, 2, 1, use_bias=False, name="deconv_3",
                                 compute_dtype=dt)(h)
-            return h  # logits
+            # logits leave the decoder in f32 regardless of the activation
+            # policy: the BCE-with-logits reduction is loss-critical math
+            return h.astype(jnp.float32)
         else:
-            return Mlp(tuple(self.layer_sizes) + (self.output_dim,),
-                       activation="relu", name="deconv_net",
-                       compute_dtype=dt)(z)
+            out = Mlp(tuple(self.layer_sizes) + (self.output_dim,),
+                      activation="relu", name="deconv_net",
+                      compute_dtype=dt)(z)
+            return out.astype(jnp.float32)
 
 
 class VAE(nn.Module):

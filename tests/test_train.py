@@ -71,6 +71,35 @@ class TestSteps:
         assert np.isfinite(float(metrics["loss"]))
         assert aux["recon_x"].shape == (4, 64, 64, 3)
 
+    def test_bf16_full_tracks_f32(self):
+        """bfloat16_full activation policy: loss finite, decreasing, and
+        within 1% of the f32 trajectory after a few steps (stats/latent/loss
+        math stays f32 — models/layers.py::_uncast)."""
+        finals = {}
+        for dt in ("float32", "bfloat16_full"):
+            cfg = _small_cfg(compute_dtype=dt)
+            model = setup_model(cfg.model_name, cross_modal=False,
+                                latent_size=cfg.latent_size,
+                                architecture="cnn", compute_dtype=dt)
+            ks = jax.random.split(jax.random.PRNGKey(0), 3)
+            variables = model.init(
+                {"params": ks[0], "dropout": ks[1], "reparam": ks[2]},
+                jnp.zeros((2, 64, 64, 3)))
+            tx = make_optimizer(cfg)
+            state = create_train_state(variables["params"], tx)
+            step = make_train_step(cfg, model, tx)
+            batch = _batch()
+            losses = []
+            for i in range(4):
+                state, m = step(state, batch, jax.random.PRNGKey(i),
+                                jnp.float32(0.5))
+                losses.append(float(m["loss"]))
+            assert all(np.isfinite(l) for l in losses)
+            assert losses[-1] < losses[0]
+            finals[dt] = losses[-1]
+        rel = abs(finals["bfloat16_full"] - finals["float32"]) / finals["float32"]
+        assert rel < 0.01
+
     def test_kl_weight_traced_no_recompile(self):
         cfg = _small_cfg()
         model, tx, state = _vae_model_and_state(cfg)
