@@ -159,10 +159,11 @@ def main():
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
-    ap.add_argument("--dtype", default=None,
+    ap.add_argument("--dtype", default="bfloat16_full",
                     choices=["float32", "bfloat16", "bfloat16_full"],
-                    help="Activation policy (overrides --bf16); bfloat16_full "
-                         "keeps activations 2-byte end-to-end")
+                    help="Activation policy (--no-bf16 forces float32); the "
+                         "default keeps activations 2-byte end-to-end "
+                         "(+12%% over bfloat16 on this bandwidth-bound step)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -172,8 +173,9 @@ def main():
         import jax
         jax.config.update("jax_platform_name", args.platform)
 
+    dtype = args.dtype if args.bf16 else "float32"
     fps, step_time, loss = bench_jax(args.batch, args.steps, args.latent,
-                                     bf16=args.bf16, dtype=args.dtype)
+                                     bf16=args.bf16, dtype=dtype)
     print(f"# jax: {fps:.1f} frames/s  ({step_time*1e3:.2f} ms/step, "
           f"batch {args.batch}, loss {loss:.1f})", file=sys.stderr)
 
