@@ -35,14 +35,15 @@ CONFIGS = [
 ]
 
 
-def bench_config(spec, batch, steps, latent, bf16, seq_len):
+def bench_config(spec, batch, steps, latent, bf16, seq_len, dtype=None):
     from bench import bench_train
 
     return bench_train(problem_type=spec["problem_type"],
                        model_name=spec["model_name"],
                        input_type=spec["input_type"],
                        use_pose=spec["use_pose"], batch=batch, steps=steps,
-                       latent=latent, bf16=bf16, seq_len=seq_len)
+                       latent=latent, bf16=bf16, seq_len=seq_len,
+                       dtype=dtype)
 
 
 def main():
@@ -54,6 +55,8 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--latent", type=int, default=256)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false", default=True)
+    ap.add_argument("--dtype", default="bfloat16_full",
+                    choices=["float32", "bfloat16", "bfloat16_full"])
     args = ap.parse_args()
 
     print(f"{'config':26} {'batch':>6} {'ms/step':>9} {'frames/s':>12}",
@@ -61,15 +64,16 @@ def main():
     for spec in CONFIGS:
         batch = args.dyn_batch if spec["problem_type"] == "dyn_modeling" \
             else args.batch
+        dtype = args.dtype if args.bf16 else "float32"
         fps, step_time, loss = bench_config(spec, batch, args.steps,
                                             args.latent, args.bf16,
-                                            args.seq_len)
+                                            args.seq_len, dtype=dtype)
         print(f"{spec['name']:26} {batch:>6} {step_time*1e3:>9.2f} "
               f"{fps:>12.0f}", file=sys.stderr)
         print(json.dumps({"config": spec["name"], "batch": batch,
                           "ms_per_step": round(step_time * 1e3, 3),
                           "frames_per_sec": round(fps, 1),
-                          "loss": round(loss, 1), "bf16": args.bf16}))
+                          "loss": round(loss, 1), "dtype": dtype}))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ sys.path.insert(0, str(REPO))
 V5E_PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
 
 
-def build(batch, latent, bf16, remat=False):
+def build(batch, latent, bf16, remat=False, dtype=None):
     import jax
     import jax.numpy as jnp
     from mmdyn_tpu.models import setup_model
@@ -37,7 +37,7 @@ def build(batch, latent, bf16, remat=False):
     from mmdyn_tpu.train.state import create_train_state
     from mmdyn_tpu.train.steps import make_train_step
 
-    compute_dtype = "bfloat16" if bf16 else "float32"
+    compute_dtype = dtype or ("bfloat16" if bf16 else "float32")
     cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
                         input_type="visuotactile", use_pose=True,
                         latent_size=latent, batchsize=batch,
@@ -83,6 +83,8 @@ def main():
     ap.add_argument("--no-bf16", dest="bf16", action="store_false",
                     default=True)
     ap.add_argument("--remat", action="store_true", default=False)
+    ap.add_argument("--dtype", default=None,
+                    choices=["float32", "bfloat16", "bfloat16_full"])
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -98,7 +100,8 @@ def main():
     from mmdyn_tpu.problems.reconstruction import mvae_evaluate
 
     cfg, model, state, tx, step_fn, data = build(args.batch, args.latent,
-                                                 args.bf16, remat=args.remat)
+                                                 args.bf16, remat=args.remat,
+                                                 dtype=args.dtype)
     key = jax.random.PRNGKey(1)
     kl = jnp.float32(1.0)
 
@@ -192,9 +195,10 @@ def main():
             sync_state(out)
         print(f"# trace written to {args.trace_dir}", file=sys.stderr)
 
-    dtype = "bfloat16" if args.bf16 else "float32"
+    dtype = args.dtype or ("bfloat16" if args.bf16 else "float32")
+    peak_key = "bfloat16" if dtype.startswith("bfloat16") else "float32"
     on_tpu = jax.default_backend() == "tpu"
-    peak = V5E_PEAK_FLOPS[dtype] if on_tpu else None
+    peak = V5E_PEAK_FLOPS[peak_key] if on_tpu else None
     result = {
         "backend": jax.default_backend(),
         "batch": args.batch, "latent": args.latent, "dtype": dtype,
