@@ -102,6 +102,26 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
     seg_images = sorted(dump_root.glob("**/seg_*.png"))
     data_files = sorted(dump_root.glob("**/data.json"))
     assert data_files, f"no data.json under {dump_root}"
+    # the reference derives seq_length as a global ratio (datasets.py:176) and
+    # silently misaligns frames if any sequence has a different count (e.g. a
+    # partially-written dump or two runs writing the same logdir). Fail loudly
+    # instead: every sequence directory must hold the same number of frames.
+    counts = {}
+    for img in visual_images:
+        counts[img.parent] = counts.get(img.parent, 0) + 1
+    uniform = len(set(counts.values())) <= 1
+    if not uniform or set(counts) != {d.parent for d in data_files}:
+        from collections import Counter
+        hist = Counter(counts.values())
+        mode = hist.most_common(1)[0][0]
+        bad = sorted(str(d) for d, c in counts.items() if c != mode)[:8]
+        missing = sorted(str(d.parent) for d in data_files
+                         if d.parent not in counts)[:8]
+        raise ValueError(
+            f"non-uniform dump under {dump_root}: frame counts {dict(hist)} "
+            f"(expected every sequence to have {mode}); offending dirs: "
+            f"{bad or missing} — was the directory written by more than one "
+            "run, or a run killed mid-sequence?")
     seq_length = int(len(visual_images) / len(data_files))
     suffix = str(seq_length - 1).zfill(4)
     final_visual_images = sorted(dump_root.glob(f"**/visual_{suffix}.png"))

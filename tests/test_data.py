@@ -47,6 +47,15 @@ class TestCompileMath:
             assert z["pose"][..., :3].min() >= -1e-6
             assert z["pose"][..., :3].max() <= 1 + 1e-6
 
+    def test_compile_rejects_non_uniform_dump(self, tmp_path):
+        """A dump with mixed per-sequence frame counts (partial write, or two
+        runs sharing a logdir) must fail loudly, not misalign silently."""
+        make_synthetic_dumps(tmp_path, n_sequences=4, seq_length=6)
+        victim = sorted((tmp_path / "dataset").glob("**/visual_0005.png"))[0]
+        victim.unlink()
+        with pytest.raises(ValueError, match="non-uniform dump"):
+            compile_dataset(tmp_path, verbose=False)
+
     def test_compile_non_strict_keeps_all(self, tmp_path):
         make_synthetic_dumps(tmp_path, n_sequences=4, seq_length=6)
         out = compile_dataset(tmp_path, strict_parity=False, verbose=False)
