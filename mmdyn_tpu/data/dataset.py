@@ -58,7 +58,7 @@ class VisuoTactileArrays:
 
 
 def dataset_setup(dataset_path, problem_type, batchsize=128, shuffle=True,
-                  seed=0, strict_parity=True, **_unused):
+                  seed=0, strict_parity=True, mask_loss=True, **_unused):
     """Build train/test splits + loaders (datasets.py:20-66).
 
     Both loaders drop the last incomplete batch; only the train loader
@@ -72,12 +72,15 @@ def dataset_setup(dataset_path, problem_type, batchsize=128, shuffle=True,
     # seq_modeling / regression consume only frame 0 of each sequence
     # (problems.py:648 stride) — don't ship the other T-1 frames to HBM
     frames = 1 if problem_type in ("seq_modeling", "regression") else None
+    # the seg masks only feed the --mask-loss reconstruction term
+    # (problems.py:438-448); skip the host->HBM transfer entirely otherwise
+    skip = () if mask_loss else ("seg",)
     train_loader = BatchLoader(train_dataset.arrays, batchsize,
                                shuffle=shuffle, drop_last=True, seed=seed,
-                               frames=frames)
+                               frames=frames, skip=skip)
     test_loader = BatchLoader(test_dataset.arrays, batchsize,
                               shuffle=False, drop_last=True, seed=seed,
-                              frames=frames)
+                              frames=frames, skip=skip)
     return {
         "train_dataset": train_dataset,
         "test_dataset": test_dataset,

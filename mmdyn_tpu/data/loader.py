@@ -33,12 +33,15 @@ class BatchLoader:
     seq_modeling and regression only ever consume frame 0 (the reference's
     ``[::seq_length]`` stride, problems.py:648), so ``frames=1`` cuts
     host->HBM transfer by T x with identical training semantics.
+
+    ``skip`` drops whole fields from every batch (e.g. the seg masks when
+    --mask-loss is off — they would be dead weight on the wire).
     """
 
     def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
                  shuffle: bool = True, drop_last: bool = True, seed: int = 0,
-                 frames: Optional[int] = None):
-        self.arrays = arrays
+                 frames: Optional[int] = None, skip: tuple = ()):
+        self.arrays = {k: v for k, v in arrays.items() if k not in skip}
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last

@@ -65,7 +65,8 @@ class Problem:
         # --- dataset ---
         dd = dataset_setup(dataset_path, cfg.problem_type,
                            batchsize=cfg.batchsize, shuffle=True, seed=seed,
-                           strict_parity=strict_parity)
+                           strict_parity=strict_parity,
+                           mask_loss=cfg.mask_loss)
         self.train_dataset = dd["train_dataset"]
         self.test_dataset = dd["test_dataset"]
         self.train_loader = dd["train_loader"]

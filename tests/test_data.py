@@ -171,6 +171,18 @@ class TestLoader:
         b2 = next(iter(dd2["train_loader"]))
         assert b2["visual"].shape == (4, 4, 64, 64, 3)
 
+    def test_dataset_setup_skips_seg_without_mask_loss(self, tmp_path):
+        """The seg masks only feed --mask-loss; don't ship them otherwise."""
+        make_compiled_arrays(tmp_path / "compiled_dataset_v2.npz",
+                             n_sequences=8, seq_length=4)
+        dd = dataset_setup(tmp_path, "seq_modeling", batchsize=4,
+                           mask_loss=False)
+        b = next(iter(dd["train_loader"]))
+        assert "seg" not in b
+        dd = dataset_setup(tmp_path, "seq_modeling", batchsize=4,
+                           mask_loss=True)
+        assert "seg" in next(iter(dd["train_loader"]))
+
 
 class TestPackedDir:
     def test_compile_to_packed_dir_and_train_view(self, tmp_path):
