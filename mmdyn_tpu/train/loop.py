@@ -75,6 +75,14 @@ class Problem:
         print(f"dataset: {len(self.train_dataset)} train / "
               f"{len(self.test_dataset)} test sequences  "
               f"(seq_length {self.seq_length})")
+        if len(self.train_loader) == 0:
+            raise ValueError(
+                f"train split ({len(self.train_dataset)} sequences) is "
+                f"smaller than the batch size ({cfg.batchsize}) with "
+                f"drop_last on — zero optimizer steps per epoch. Use a "
+                f"smaller batch or more data. (Note: the strict-parity "
+                f"compile drops the final globbed sequence, and the test "
+                f"split drops its last element — datasets.py:210-224,107-108.)")
         if len(self.test_loader) == 0:
             msg = (f"test split ({len(self.test_dataset)} sequences) is "
                    f"smaller than the batch size ({cfg.batchsize}) and "

@@ -237,6 +237,16 @@ class TestLoopEndToEnd:
             assert np.isfinite(results["Loss/train_epoch"][0])
 
 
+def test_empty_train_split_fails_loudly(tmp_path):
+    """Batch larger than the train split means zero optimizer steps — that
+    must be a hard error, not a silently-zero loss curve."""
+    make_synthetic_dumps(tmp_path / "ds", n_sequences=5, seq_length=4)
+    cfg = _small_cfg(batchsize=64)
+    with pytest.raises(ValueError, match="train split"):
+        Problem(cfg, str(tmp_path / "ds"), save_name="too_big",
+                logs_root=str(tmp_path / "logs"), tensorboard=False)
+
+
 def test_cli_end_to_end(tmp_path):
     """Full CLI smoke: synthetic dumps -> compile -> 1 training epoch."""
     make_synthetic_dumps(tmp_path / "ds", n_sequences=5, seq_length=4)
