@@ -111,12 +111,17 @@ def main(argv=None):
 
     # --- prior samples -------------------------------------------------------
     if problem.sample_fn is not None:
+        # build a sampler sized to --n-samples (problem.sample_fn is jitted
+        # with the training default n=50, which a conditional batch must match)
+        from mmdyn_tpu.train.steps import make_sample_fn
+        sample_fn = make_sample_fn(problem.cfg, problem.model,
+                                   n=args.n_samples)
         cond = None
         if cfg.conditional:
             cond = jax.random.uniform(jax.random.PRNGKey(args.seed + 1),
                                       (args.n_samples, problem.cfg.condition_dim))
-        samples = problem.sample_fn(problem.state.params,
-                                    jax.random.PRNGKey(args.seed), cond)
+        samples = sample_fn(problem.state.params,
+                            jax.random.PRNGKey(args.seed), cond)
         for k, v in samples.items():
             arr = np.asarray(v)
             if arr.ndim == 4:
