@@ -328,6 +328,30 @@ def test_evaluate_cli_end_to_end(tmp_path):
     assert any(p.name.startswith("samples_") for p in plot.iterdir())
 
 
+def test_evaluate_cli_conditional_run(tmp_path):
+    """Evaluate a --conditional (CVAE) run: the prior-sample batch must match
+    --n-samples (regression: the sampler was fixed at the training n=50 while
+    the condition used --n-samples, crashing the concat)."""
+    make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                         n_sequences=12, seq_length=2, with_shock=True)
+    from mmdyn_tpu.cli.main import main as train_main
+    problem = train_main([
+        "--problem-type", "seq_modeling", "--model-name", "cnn-vae",
+        "--input-type", "visual", "--conditional",
+        "--dataset-path", str(tmp_path / "ds"),
+        "--batchsize", "2", "--num-epochs", "1", "--latent-size", "8",
+        "--logs-root", str(tmp_path / "logs"), "--no-tensorboard",
+    ])
+    from mmdyn_tpu.cli.evaluate import main as eval_main
+    metrics = eval_main(["--run", str(problem.log_dir),
+                         "--dataset-path", str(tmp_path / "ds"),
+                         "--batchsize", "2", "--n-samples", "3"])
+    assert np.isfinite(metrics["test_loss_total"])
+    samples = [p for p in (problem.log_dir / "plot").iterdir()
+               if p.name.startswith("samples_")]
+    assert samples
+
+
 def test_dyn_modeling_mvae_loop(tmp_path):
     """dyn_modeling with the full MVAE+pose model through the Problem loop."""
     make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
