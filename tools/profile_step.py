@@ -28,7 +28,8 @@ sys.path.insert(0, str(REPO))
 V5E_PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
 
 
-def build(batch, latent, bf16, remat=False, dtype=None):
+def build(batch, latent, bf16, remat=False, dtype=None,
+          problem_type="seq_modeling", seq_len=2):
     import jax
     import jax.numpy as jnp
     from mmdyn_tpu.models import setup_model
@@ -38,7 +39,7 @@ def build(batch, latent, bf16, remat=False, dtype=None):
     from mmdyn_tpu.train.steps import make_train_step
 
     compute_dtype = dtype or ("bfloat16" if bf16 else "float32")
-    cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
+    cfg = ProblemConfig(problem_type=problem_type, model_name="cnn-mvae",
                         input_type="visuotactile", use_pose=True,
                         latent_size=latent, batchsize=batch,
                         compute_dtype=compute_dtype, remat=remat)
@@ -47,12 +48,13 @@ def build(batch, latent, bf16, remat=False, dtype=None):
                         compute_dtype=compute_dtype)
     rng = np.random.default_rng(0)
     f32 = lambda *s: jnp.asarray(rng.uniform(size=s).astype(np.float32))
+    t = seq_len
     data = {
-        "visual": f32(batch, 2, 64, 64, 3), "tactile": f32(batch, 2, 64, 64, 3),
-        "pose": f32(batch, 2, 7), "avail": jnp.ones((batch, 2, 2)),
+        "visual": f32(batch, t, 64, 64, 3), "tactile": f32(batch, t, 64, 64, 3),
+        "pose": f32(batch, t, 7), "avail": jnp.ones((batch, t, 2)),
         "final_visual": f32(batch, 64, 64, 3),
         "final_tactile": f32(batch, 64, 64, 3), "final_pose": f32(batch, 7),
-        "seg": jnp.ones((batch, 2, 64, 64, 3)),
+        "seg": jnp.ones((batch, t, 64, 64, 3)),
     }
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     img = jnp.zeros((2, 64, 64, 3))
@@ -85,6 +87,10 @@ def main():
     ap.add_argument("--remat", action="store_true", default=False)
     ap.add_argument("--dtype", default=None,
                     choices=["float32", "bfloat16", "bfloat16_full"])
+    ap.add_argument("--problem", default="seq_modeling",
+                    choices=["seq_modeling", "dyn_modeling"])
+    ap.add_argument("--seq-len", type=int, default=2,
+                    help="frames per sequence (dyn_modeling consumes all)")
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -101,7 +107,9 @@ def main():
 
     cfg, model, state, tx, step_fn, data = build(args.batch, args.latent,
                                                  args.bf16, remat=args.remat,
-                                                 dtype=args.dtype)
+                                                 dtype=args.dtype,
+                                                 problem_type=args.problem,
+                                                 seq_len=args.seq_len)
     key = jax.random.PRNGKey(1)
     kl = jnp.float32(1.0)
 
@@ -131,7 +139,8 @@ def main():
     t_full = (time.perf_counter() - t0) / args.steps
     state = jax.tree_util.tree_map(jnp.copy, run_state)  # fresh, undonated
 
-    # --- segments ---------------------------------------------------------------
+    # --- segments (seq_modeling shapes only) -------------------------------------
+    do_segments = args.problem == "seq_modeling"
     mcls = type(model)
     variables = {"params": state.params}
     inputs = {"visual": data["visual"][:, 0], "tactile": data["tactile"][:, 0],
@@ -178,13 +187,15 @@ def main():
         return fused_masked_bce_sum(recons, tgt, None)
 
     k2 = jax.random.PRNGKey(2)
-    t_fwd = timed(lambda: fwd_loss(state.params, k2), (), args.steps,
-                  sync_scalar)
-    t_enc = timed(lambda: encode_only(state.params, k2), (), args.steps,
-                  sync_scalar)
-    t_dec = timed(lambda: decode_only(state.params, z_all), (), args.steps,
-                  sync_scalar)
-    t_loss = timed(lambda: loss_only(recons), (), args.steps, sync_scalar)
+    t_fwd = t_enc = t_dec = t_loss = None
+    if do_segments:
+        t_fwd = timed(lambda: fwd_loss(state.params, k2), (), args.steps,
+                      sync_scalar)
+        t_enc = timed(lambda: encode_only(state.params, k2), (), args.steps,
+                      sync_scalar)
+        t_dec = timed(lambda: decode_only(state.params, z_all), (), args.steps,
+                      sync_scalar)
+        t_loss = timed(lambda: loss_only(recons), (), args.steps, sync_scalar)
 
     # --- optional trace -----------------------------------------------------------
     if args.trace_dir:
@@ -201,6 +212,7 @@ def main():
     peak = V5E_PEAK_FLOPS[peak_key] if on_tpu else None
     result = {
         "backend": jax.default_backend(),
+        "problem": args.problem, "seq_len": args.seq_len,
         "batch": args.batch, "latent": args.latent, "dtype": dtype,
         "flops_per_step": flops,
         "gbytes_accessed": round(bytes_acc / 1e9, 3),
@@ -208,15 +220,16 @@ def main():
         "achieved_tflops": round(flops / t_full / 1e12, 2),
         "mfu_pct": (round(flops / t_full / peak * 100, 2) if peak else None),
         "arithmetic_intensity": round(flops / max(bytes_acc, 1), 1),
-        "segments_ms": {
+    }
+    if do_segments:
+        result["segments_ms"] = {
             "full_fwd_bwd_adam": round(t_full * 1e3, 3),
             "forward_loss": round(t_fwd * 1e3, 3),
             "encode_3x": round(t_enc * 1e3, 3),
             "decode_2x4_subsets": round(t_dec * 1e3, 3),
             "fused_bce_loss": round(t_loss * 1e3, 3),
             "backward_plus_adam_est": round((t_full - t_fwd) * 1e3, 3),
-        },
-    }
+        }
     print(json.dumps(result))
 
 
