@@ -168,6 +168,27 @@ class TestMultiDevice:
                       jnp.float32(1.0))
         assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
 
+    def test_dp_with_bf16_full_policy(self):
+        """The bfloat16_full activation policy composes with the DP mesh:
+        sharded step runs, loss finite, params stay replicated."""
+        mesh = make_mesh(8)
+        cfg = _small_cfg(batchsize=8, compute_dtype="bfloat16_full")
+        model = setup_model(cfg.model_name, cross_modal=False,
+                            latent_size=cfg.latent_size, architecture="cnn",
+                            compute_dtype="bfloat16_full")
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        variables = model.init(
+            {"params": ks[0], "dropout": ks[1], "reparam": ks[2]},
+            jnp.zeros((2, 64, 64, 3)))
+        tx = make_optimizer(cfg)
+        state = replicate(mesh, create_train_state(variables["params"], tx))
+        step = make_train_step(cfg, model, tx)
+        state, metrics = step(state, shard_batch(mesh, _batch(B=8)),
+                              jax.random.PRNGKey(0), jnp.float32(1.0))
+        assert np.isfinite(float(metrics["loss"]))
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
     def test_dp_matches_single_device(self):
         """Same batch, same rng: DP-sharded loss == single-device loss."""
         mesh = make_mesh(8)
