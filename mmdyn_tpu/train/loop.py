@@ -281,6 +281,11 @@ class Problem:
             save_checkpoint(self.checkpoint_dir, self.state, epoch,
                             self._best_loss, name="latest")
 
+        # hparams + final perf-measures record (problems.py:208)
+        perf = {k: v[-1] for k, v in self._logger_dict.items()
+                if k.startswith("Perf_measure") and v}
+        self.writer.hparams(dataclasses.asdict(self.cfg), perf)
+
         if save:
             with open(self.log_dir / "results.pkl", "wb") as f:
                 pickle.dump(dict(self._logger_dict), f)

@@ -14,6 +14,11 @@ from pathlib import Path
 import numpy as np
 
 
+def _scalarize(v):
+    """TensorBoard hparams accept only bool/int/float/str; stringify the rest."""
+    return v if isinstance(v, (bool, int, float, str)) else str(v)
+
+
 def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2,
               pad_value: float = 0.0) -> np.ndarray:
     """Tile (N, H, W, C) float images in [0,1] into one (H', W', C) panel."""
@@ -75,6 +80,23 @@ class MetricWriter:
     def histogram(self, tag, values, step):
         if self._tb is not None:
             self._tb.add_histogram(tag, np.asarray(values), int(step))
+
+    def hparams(self, params: dict, metrics: dict):
+        """End-of-run hyperparameters + final metrics (problems.py:208).
+
+        TensorBoard's add_hparams only accepts scalar value types; everything
+        else is stringified. The full record also lands in the JSONL."""
+        rec = {"tag": "hparams", "params": {k: _scalarize(v) for k, v in
+                                            params.items()},
+               "metrics": {k: float(v) for k, v in metrics.items()},
+               "time": time.time()}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            try:
+                self._tb.add_hparams(rec["params"], rec["metrics"],
+                                     run_name=".")
+            except Exception:
+                pass
 
     def flush(self):
         self._jsonl.flush()
