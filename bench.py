@@ -38,13 +38,13 @@ sys.path.insert(0, str(REPO))
 METRIC = "cnn-mvae visuotactile+pose seq_modeling train throughput (frames/sec/chip)"
 
 
-def bench_train(problem_type="seq_modeling", model_name="cnn-mvae",
-                input_type="visuotactile", use_pose=True, batch=512, steps=50,
-                latent=256, bf16=True, seq_len=2, dtype=None):
-    """Shared benchmark core: build the config/model/state, run `steps`
-    dependency-chained train steps, and time them ending with host transfers
-    (the tunnel's block_until_ready can return with work still in flight;
-    transfers cannot lie). Returns (frames_per_sec, step_time, loss)."""
+def build_train_setup(problem_type="seq_modeling", model_name="cnn-mvae",
+                      input_type="visuotactile", use_pose=True, batch=512,
+                      latent=256, compute_dtype="bfloat16_full", seq_len=2,
+                      remat=False):
+    """Build (cfg, model, state, tx, step_fn, batch_data) for a synthetic
+    training-step benchmark. Shared by bench.py and tools/profile_step.py so
+    both always measure the identical configuration."""
     import jax
     import jax.numpy as jnp
     from mmdyn_tpu.models import setup_model
@@ -52,11 +52,10 @@ def bench_train(problem_type="seq_modeling", model_name="cnn-mvae",
     from mmdyn_tpu.train.state import create_train_state
     from mmdyn_tpu.train.steps import make_train_step
 
-    compute_dtype = dtype or ("bfloat16" if bf16 else "float32")
     cfg = ProblemConfig(problem_type=problem_type, model_name=model_name,
                         input_type=input_type, use_pose=use_pose,
                         latent_size=latent, batchsize=batch,
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype, remat=remat)
     kwargs = dict(latent_size=latent, architecture="cnn",
                   compute_dtype=compute_dtype)
     if cfg.is_mvae and cfg.cross_modal:
@@ -88,6 +87,24 @@ def bench_train(problem_type="seq_modeling", model_name="cnn-mvae",
     tx = make_optimizer(cfg)
     state = create_train_state(variables["params"], tx)
     step_fn = make_train_step(cfg, model, tx)
+    return cfg, model, state, tx, step_fn, batch_data
+
+
+def bench_train(problem_type="seq_modeling", model_name="cnn-mvae",
+                input_type="visuotactile", use_pose=True, batch=512, steps=50,
+                latent=256, bf16=True, seq_len=2, dtype=None):
+    """Shared benchmark core: build the config/model/state, run `steps`
+    dependency-chained train steps, and time them ending with host transfers
+    (the tunnel's block_until_ready can return with work still in flight;
+    transfers cannot lie). Returns (frames_per_sec, step_time, loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    compute_dtype = dtype or ("bfloat16" if bf16 else "float32")
+    cfg, model, state, tx, step_fn, batch_data = build_train_setup(
+        problem_type=problem_type, model_name=model_name,
+        input_type=input_type, use_pose=use_pose, batch=batch, latent=latent,
+        compute_dtype=compute_dtype, seq_len=seq_len)
 
     def full_sync(state, metrics):
         loss = float(metrics["loss"])

@@ -71,7 +71,8 @@ def main(argv=None):
         optimizer=saved.get("optimizer", "Adam"),
         batchsize=args.batchsize or saved.get("batchsize", 128),
         num_epochs=0,
-        compute_dtype="bfloat16" if saved.get("bf16") else "float32",
+        compute_dtype=("bfloat16_full" if saved.get("bf16_full")
+                       else "bfloat16" if saved.get("bf16") else "float32"),
     )
     dataset_path = args.dataset_path or saved["dataset_path"]
 

@@ -113,7 +113,7 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
     if not uniform or set(counts) != {d.parent for d in data_files}:
         from collections import Counter
         hist = Counter(counts.values())
-        mode = hist.most_common(1)[0][0]
+        mode = hist.most_common(1)[0][0] if hist else 0
         bad = sorted(str(d) for d, c in counts.items() if c != mode)[:8]
         missing = sorted(str(d.parent) for d in data_files
                          if d.parent not in counts)[:8]

@@ -45,11 +45,15 @@ class ProblemConfig:
         assert self.input_type in cfg_mod.INPUT_TYPES, "Input type is not implemented"
         assert self.optimizer in cfg_mod.OPTIMIZERS, "loss name not implemented in Problem"
         if self.augment:
-            # geometric augmentation is image-space; pose targets/inputs and
-            # the regression pose objective would silently decohere
-            assert not self.use_pose and self.problem_type != "regression", (
+            # geometric augmentation is image-space; pose targets/inputs, the
+            # regression pose objective, and directional conditions (the exp_3
+            # shock force is a lateral vector — a mirrored scene with an
+            # un-mirrored force would corrupt the conditional dynamics) would
+            # all silently decohere
+            assert (not self.use_pose and not self.conditional
+                    and self.problem_type != "regression"), (
                 "--augment supports image-only problems (visual/tactile/"
-                "visuotactile without --use-pose)")
+                "visuotactile without --use-pose/--conditional)")
 
     @property
     def cross_modal(self) -> bool:

@@ -93,17 +93,27 @@ class Mesh:
         return np.stack([self.vertices.min(axis=0), self.vertices.max(axis=0)])
 
     def face_normals(self) -> np.ndarray:
-        """(F, 3) unit normals from the right-hand winding."""
+        """(F, 3) unit normals from the right-hand winding (cached — the
+        geometry is immutable and pose sampling calls this per contact
+        point)."""
+        cached = getattr(self, "_face_normals", None)
+        if cached is not None:
+            return cached
         v = self.vertices
         a, b, c = (v[self.faces[:, i]] for i in range(3))
         n = np.cross(b - a, c - a)
         norm = np.linalg.norm(n, axis=1, keepdims=True)
-        return n / np.where(norm > 0, norm, 1.0)
+        self._face_normals = n / np.where(norm > 0, norm, 1.0)
+        return self._face_normals
 
     def face_areas(self) -> np.ndarray:
+        cached = getattr(self, "_face_areas", None)
+        if cached is not None:
+            return cached
         v = self.vertices
         a, b, c = (v[self.faces[:, i]] for i in range(3))
-        return 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+        self._face_areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+        return self._face_areas
 
     def sample_surface(self, count: int, rng=None):
         """Area-weighted surface sampling -> (points (count,3), face indices).

@@ -75,7 +75,9 @@ class Problem:
         print(f"dataset: {len(self.train_dataset)} train / "
               f"{len(self.test_dataset)} test sequences  "
               f"(seq_length {self.seq_length})")
-        if len(self.train_loader) == 0:
+        if len(self.train_loader) == 0 and cfg.num_epochs > 0:
+            # evaluation-only reattachment (num_epochs=0, cli/evaluate.py)
+            # never takes an optimizer step, so only a *training* run errors
             raise ValueError(
                 f"train split ({len(self.train_dataset)} sequences) is "
                 f"smaller than the batch size ({cfg.batchsize}) with "

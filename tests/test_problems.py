@@ -175,6 +175,12 @@ class TestAugment:
         with pytest.raises(AssertionError):
             ProblemConfig(problem_type="regression", input_type="visual",
                           model_name="regressor", augment=True)
+        # directional conditions (exp_3 lateral shock force) would decohere
+        # under a mirror flip — conditional runs are rejected too
+        with pytest.raises(AssertionError):
+            ProblemConfig(problem_type="seq_modeling", input_type="visual",
+                          model_name="cnn-vae", conditional=True,
+                          condition_dim=1, augment=True)
 
 
 class TestParsing:

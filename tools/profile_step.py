@@ -30,40 +30,14 @@ V5E_PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
 
 def build(batch, latent, bf16, remat=False, dtype=None,
           problem_type="seq_modeling", seq_len=2):
-    import jax
-    import jax.numpy as jnp
-    from mmdyn_tpu.models import setup_model
-    from mmdyn_tpu.problems.base import ProblemConfig, make_optimizer
-    from mmdyn_tpu.problems.reconstruction import mvae_evaluate
-    from mmdyn_tpu.train.state import create_train_state
-    from mmdyn_tpu.train.steps import make_train_step
+    """Delegates to bench.build_train_setup so this tool and bench.py always
+    measure the identical configuration."""
+    from bench import build_train_setup
 
     compute_dtype = dtype or ("bfloat16" if bf16 else "float32")
-    cfg = ProblemConfig(problem_type=problem_type, model_name="cnn-mvae",
-                        input_type="visuotactile", use_pose=True,
-                        latent_size=latent, batchsize=batch,
-                        compute_dtype=compute_dtype, remat=remat)
-    model = setup_model("cnn-mvae", cross_modal=True, latent_size=latent,
-                        use_pose=True, architecture="cnn",
-                        compute_dtype=compute_dtype)
-    rng = np.random.default_rng(0)
-    f32 = lambda *s: jnp.asarray(rng.uniform(size=s).astype(np.float32))
-    t = seq_len
-    data = {
-        "visual": f32(batch, t, 64, 64, 3), "tactile": f32(batch, t, 64, 64, 3),
-        "pose": f32(batch, t, 7), "avail": jnp.ones((batch, t, 2)),
-        "final_visual": f32(batch, 64, 64, 3),
-        "final_tactile": f32(batch, 64, 64, 3), "final_pose": f32(batch, 7),
-        "seg": jnp.ones((batch, t, 64, 64, 3)),
-    }
-    ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    img = jnp.zeros((2, 64, 64, 3))
-    variables = model.init({"params": ks[0], "dropout": ks[1], "reparam": ks[2]},
-                           [img, img], jnp.zeros((2, 7)))
-    tx = make_optimizer(cfg)
-    state = create_train_state(variables["params"], tx)
-    step_fn = make_train_step(cfg, model, tx)
-    return cfg, model, state, tx, step_fn, data
+    return build_train_setup(problem_type=problem_type, batch=batch,
+                             latent=latent, compute_dtype=compute_dtype,
+                             seq_len=seq_len, remat=remat)
 
 
 def timed(fn, args, steps, sync):
@@ -199,10 +173,13 @@ def main():
 
     # --- optional trace -----------------------------------------------------------
     if args.trace_dir:
+        # the step donates its input state — thread it through the chain
+        trace_state = jax.tree_util.tree_map(jnp.copy, state)
         with jax.profiler.trace(args.trace_dir):
             out = None
             for _ in range(3):
-                out = step_fn(state, data, key, kl)
+                out = step_fn(trace_state, data, key, kl)
+                trace_state = out[0]
             sync_state(out)
         print(f"# trace written to {args.trace_dir}", file=sys.stderr)
 
