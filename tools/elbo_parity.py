@@ -59,7 +59,8 @@ def make_data_from_compiled(path, n_seq=None):
     return inputs, targets
 
 
-def run_jax(inputs, targets, epochs, batch, latent, lr, anneal, seed=0):
+def run_jax(inputs, targets, epochs, batch, latent, lr, anneal, seed=0,
+            dtype="float32"):
     xv, xt, xp = inputs
     yv, yt, yp = targets
     import jax
@@ -73,9 +74,9 @@ def run_jax(inputs, targets, epochs, batch, latent, lr, anneal, seed=0):
     cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
                         input_type="visuotactile", use_pose=True,
                         latent_size=latent, batchsize=batch, lr=lr,
-                        annealing_epochs=anneal)
+                        annealing_epochs=anneal, compute_dtype=dtype)
     model = setup_model("cnn-mvae", cross_modal=True, latent_size=latent,
-                        use_pose=True)
+                        use_pose=True, compute_dtype=dtype)
     ks = jax.random.split(jax.random.PRNGKey(seed), 3)
     variables = model.init(
         {"params": ks[0], "dropout": ks[1], "reparam": ks[2]},
@@ -209,6 +210,10 @@ def main():
                     help="only run the jax side (reuse a recorded torch "
                     "trajectory)")
     ap.add_argument("--out", default=None, help="also write the JSON here")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16", "bfloat16_full"],
+                    help="jax-side activation policy (torch side is always "
+                    "f32; use to bound the accelerated policies' drift)")
     args = ap.parse_args()
 
     if args.platform:
@@ -225,7 +230,7 @@ def main():
         inputs, targets = make_data(args.n_seq, args.batch)
     t0 = time.time()
     jx = run_jax(inputs, targets, args.epochs, args.batch, args.latent,
-                 args.lr, args.anneal)
+                 args.lr, args.anneal, dtype=args.dtype)
     print(f"# jax done in {time.time()-t0:.1f}s: {[round(x,1) for x in jx]}",
           file=sys.stderr)
     th = None
