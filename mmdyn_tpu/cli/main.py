@@ -78,6 +78,12 @@ def build_parser():
                         help="Max translation in pixels for --augment")
     parser.add_argument("--augment-brightness", type=float, default=0.1,
                         help="Max relative brightness jitter for --augment")
+    parser.add_argument("--image-interval", type=int, default=1,
+                        help="Log sample/recon image grids every N epochs "
+                             "(1 = reference behaviour)")
+    parser.add_argument("--ckpt-interval", type=int, default=1,
+                        help="Write the 'latest' resume checkpoint every N "
+                             "epochs (best-val saves are unaffected)")
     return parser
 
 
@@ -126,7 +132,9 @@ def main(argv=None):
                       seed=args.seed, mesh=mesh,
                       tensorboard=not args.no_tensorboard,
                       strict_parity=not args.no_strict_parity,
-                      resume=args.resume, profile_dir=args.profile_dir)
+                      resume=args.resume, profile_dir=args.profile_dir,
+                      image_interval=args.image_interval,
+                      ckpt_interval=args.ckpt_interval)
 
     # reference saves the argparse namespace next to the run (main.py:69)
     with open(problem.log_dir / "problem.pkl", "wb") as f:

@@ -39,11 +39,17 @@ class Problem:
     def __init__(self, cfg: ProblemConfig, dataset_path, save_name="run",
                  logs_root="./logs", log_dir=None, seed=0, mesh=None,
                  tensorboard=True, strict_parity=True, resume=False,
-                 profile_dir=None):
+                 profile_dir=None, image_interval=1, ckpt_interval=1):
         self.dataset_path = dataset_path
         self.mesh = mesh
         self.seed = seed
         self.profile_dir = profile_dir
+        # the reference samples/logs images and checkpoints every epoch
+        # (problems.py:199-206); intervals > 1 amortise that host-side
+        # overhead on long runs (best-val checkpoints still save whenever the
+        # validation loss improves, and the final epoch always logs + saves)
+        self.image_interval = max(1, int(image_interval))
+        self.ckpt_interval = max(1, int(ckpt_interval))
         self._step_timer = StepTimer()
         self._best_loss = np.inf
         self._start_epoch = 0
@@ -270,18 +276,21 @@ class Problem:
             with trace(self.profile_dir if do_profile else None):
                 self._train_epoch(epoch, kl_weight)
             val_loss, aux = self._test_epoch(epoch, kl_weight)
-            self._sample(epoch)
+            last_epoch = epoch == cfg.num_epochs - 1
+            if epoch % self.image_interval == 0 or last_epoch:
+                self._sample(epoch)
+                self._write_images(epoch, aux)
             for key in self._logger_dict:
                 self.writer.scalar(key, self._logger_dict[key][-1], epoch)
-            self._write_images(epoch, aux)
             self.writer.flush()
 
             if val_loss < self._best_loss:
                 self._best_loss = val_loss
                 save_checkpoint(self.checkpoint_dir, self.state, epoch,
                                 self._best_loss)
-            save_checkpoint(self.checkpoint_dir, self.state, epoch,
-                            self._best_loss, name="latest")
+            if epoch % self.ckpt_interval == 0 or last_epoch:
+                save_checkpoint(self.checkpoint_dir, self.state, epoch,
+                                self._best_loss, name="latest")
 
         # hparams + final perf-measures record (problems.py:208)
         perf = {k: v[-1] for k, v in self._logger_dict.items()
