@@ -226,6 +226,22 @@ class TestLoopEndToEnd:
         assert latest_checkpoint(problem.checkpoint_dir) is not None
         assert (problem.log_dir / "tensorboard" / "metrics.jsonl").exists()
 
+    def test_reconstruction_problem_loop(self, tmp_path):
+        """Plain autoencoding (problems.py:362-626 Reconstruction): every
+        frame is its own target, loss decreases over 2 epochs."""
+        make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                             n_sequences=10, seq_length=3)
+        cfg = ProblemConfig(problem_type="reconstruction",
+                            model_name="cnn-vae", input_type="visual",
+                            latent_size=8, batchsize=4, num_epochs=2,
+                            annealing_epochs=1)  # constant kl_weight so the
+        # epoch losses are comparable
+        problem = Problem(cfg, tmp_path / "ds",
+                          logs_root=str(tmp_path / "logs"), tensorboard=False)
+        results = problem.train()
+        losses = results["Loss/train_epoch"]
+        assert len(losses) == 2 and losses[1] < losses[0]
+
     def test_resume_continues_from_epoch(self, tmp_path):
         make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
                              n_sequences=10, seq_length=3)
