@@ -134,7 +134,8 @@ def main(argv=None):
                       strict_parity=not args.no_strict_parity,
                       resume=args.resume, profile_dir=args.profile_dir,
                       image_interval=args.image_interval,
-                      ckpt_interval=args.ckpt_interval)
+                      ckpt_interval=args.ckpt_interval,
+                      vis_pose=args.vis_pose)
 
     # reference saves the argparse namespace next to the run (main.py:69)
     with open(problem.log_dir / "problem.pkl", "wb") as f:

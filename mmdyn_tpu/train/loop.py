@@ -39,7 +39,8 @@ class Problem:
     def __init__(self, cfg: ProblemConfig, dataset_path, save_name="run",
                  logs_root="./logs", log_dir=None, seed=0, mesh=None,
                  tensorboard=True, strict_parity=True, resume=False,
-                 profile_dir=None, image_interval=1, ckpt_interval=1):
+                 profile_dir=None, image_interval=1, ckpt_interval=1,
+                 vis_pose=False):
         self.dataset_path = dataset_path
         self.mesh = mesh
         self.seed = seed
@@ -50,6 +51,7 @@ class Problem:
         # validation loss improves, and the final epoch always logs + saves)
         self.image_interval = max(1, int(image_interval))
         self.ckpt_interval = max(1, int(ckpt_interval))
+        self.vis_pose = vis_pose   # 3-D pose-triad figures (slow; main.py:35)
         self._step_timer = StepTimer()
         self._best_loss = np.inf
         self._start_epoch = 0
@@ -220,6 +222,7 @@ class Problem:
                 if k != "loss":
                     perf_acc[k].append(v)
             last_aux = aux
+            self._last_eval_batch = batch
         val_loss = sum(float(x) for x in losses)
         self._logger_dict["Loss/validation_epoch"].append(val_loss / max(n_batches, 1))
         for k, vs in perf_acc.items():
@@ -248,6 +251,27 @@ class Problem:
             log("Output_img/validation_tactile", sig(recon["tactile"]))
         else:
             log("Output_img/validation", jax.nn.sigmoid(recon))
+
+        if (self.vis_pose and self.cfg.use_pose and isinstance(recon, dict)
+                and recon.get("pose") is not None
+                and getattr(self, "_last_eval_batch", None) is not None):
+            # 3-D triad figures (problems.py:605-614, gated by --vis-pose)
+            from mmdyn_tpu.problems.specs import parse_batch
+            from mmdyn_tpu.utils.plots import (plot_pose_tensorboard,
+                                               plot_single_pose_tensorboard)
+            ins, tgts = parse_batch(self.cfg, self._last_eval_batch)
+            n = min(n_images, 16)   # figures are host-side matplotlib: cap
+            self.writer.figure(
+                "Pose_validation/input",
+                plot_single_pose_tensorboard(
+                    np.asarray(ins["pose"])[:n],
+                    seq_length=self.seq_length), epoch)
+            self.writer.figure(
+                "Pose_validation/output_vs_target",
+                plot_pose_tensorboard(
+                    np.asarray(recon["pose"])[:n],
+                    np.asarray(tgts["pose"])[:n],
+                    seq_length=self.seq_length), epoch)
 
     def _sample(self, epoch):
         if self.sample_fn is None:

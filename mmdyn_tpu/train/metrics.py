@@ -77,6 +77,14 @@ class MetricWriter:
         if self._tb is not None:
             self._tb.add_text(tag, str(message), int(step))
 
+    def figure(self, tag, fig, step):
+        """Log a matplotlib figure (reference add_figure, problems.py:607)."""
+        if self._tb is not None:
+            self._tb.add_figure(tag, fig, int(step))
+        else:
+            import matplotlib.pyplot as plt
+            plt.close(fig)
+
     def histogram(self, tag, values, step):
         if self._tb is not None:
             self._tb.add_histogram(tag, np.asarray(values), int(step))

@@ -65,7 +65,8 @@ def plot_pose_tensorboard(pose_1=np.array([[0, 0, 0, 1, 0, 0, 0]]),
         quaternions_1 = 2 * quaternions_1 - 1
         quaternions_2 = 2 * quaternions_2 - 1
 
-    n_rows = max(1, len(positions_1) // seq_length)
+    n_rows = max(1, -(-len(positions_1) // seq_length))  # ceil: a
+    # non-multiple pose count must not overflow the subplot grid
     fig = plt.figure(figsize=(3 * seq_length, 3 * n_rows))
     for i in range(len(positions_1)):
         ax = _triad_axes(fig, n_rows, seq_length, i + 1, axis_lim)
@@ -95,7 +96,7 @@ def plot_single_pose_tensorboard(pose=np.array([[0, 0, 0, 1, 0, 0, 0]]),
     if normalized_quaternions:
         quaternions = 2 * quaternions - 1
 
-    n_rows = max(1, len(positions) // seq_length)
+    n_rows = max(1, -(-len(positions) // seq_length))  # ceil (see above)
     fig = plt.figure(figsize=(3 * seq_length, 3 * n_rows))
     for i in range(len(positions)):
         ax = _triad_axes(fig, n_rows, seq_length, i + 1, axis_lim)

@@ -242,6 +242,27 @@ class TestLoopEndToEnd:
         assert len(losses) == 2 and all(np.isfinite(losses))
         assert latest_checkpoint(problem.checkpoint_dir) is not None
 
+    def test_vis_pose_logs_triad_figures(self, tmp_path):
+        """--vis-pose writes 3-D pose-triad figures (problems.py:605-614)."""
+        # 21 sequences -> train 16 / test 4, so the 4-sequence eval batch
+        # exists and the pose-figure branch actually runs
+        make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                             n_sequences=21, seq_length=3)
+        cfg = ProblemConfig(problem_type="seq_modeling",
+                            model_name="cnn-mvae", input_type="visuotactile",
+                            use_pose=True, latent_size=8, batchsize=4,
+                            num_epochs=1, annealing_epochs=1)
+        problem = Problem(cfg, tmp_path / "ds",
+                          logs_root=str(tmp_path / "logs"), tensorboard=True,
+                          vis_pose=True)
+        logged = []
+        orig = problem.writer.figure
+        problem.writer.figure = lambda tag, fig, step: (
+            logged.append(tag), orig(tag, fig, step))
+        problem.train()
+        assert "Pose_validation/input" in logged
+        assert "Pose_validation/output_vs_target" in logged
+
     def test_resume_continues_from_epoch(self, tmp_path):
         make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
                              n_sequences=10, seq_length=3)
