@@ -109,19 +109,36 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
     counts = {}
     for img in visual_images:
         counts[img.parent] = counts.get(img.parent, 0) + 1
+    # a run killed between writing visual_NNNN.png and the matching tactile_/
+    # seg_ frame misaligns the streams even with uniform visual counts, so the
+    # per-directory tactile and seg counts must equal the visual count too
+    tac_counts, seg_counts = {}, {}
+    for img in tactile_images:
+        tac_counts[img.parent] = tac_counts.get(img.parent, 0) + 1
+    for img in seg_images:
+        seg_counts[img.parent] = seg_counts.get(img.parent, 0) + 1
     uniform = len(set(counts.values())) <= 1
-    if not uniform or set(counts) != {d.parent for d in data_files}:
+    streams_match = tac_counts == counts and seg_counts == counts
+    data_dirs = {d.parent for d in data_files}
+    if not uniform or not streams_match or set(counts) != data_dirs:
         from collections import Counter
         hist = Counter(counts.values())
         mode = hist.most_common(1)[0][0] if hist else 0
         bad = sorted(str(d) for d, c in counts.items() if c != mode)[:8]
-        missing = sorted(str(d.parent) for d in data_files
-                         if d.parent not in counts)[:8]
+        ragged = sorted(str(d) for d in counts
+                        if tac_counts.get(d, 0) != counts[d]
+                        or seg_counts.get(d, 0) != counts[d])[:8]
+        # symmetric difference: dirs with frames but no data.json AND dirs
+        # with data.json but no frames both point at the culprit
+        unpaired = sorted(str(d) for d in
+                          set(counts).symmetric_difference(data_dirs))[:8]
         raise ValueError(
-            f"non-uniform dump under {dump_root}: frame counts {dict(hist)} "
-            f"(expected every sequence to have {mode}); offending dirs: "
-            f"{bad or missing} — was the directory written by more than one "
-            "run, or a run killed mid-sequence?")
+            f"non-uniform dump under {dump_root}: visual frame counts "
+            f"{dict(hist)} (expected every sequence to have {mode}); "
+            f"offending dirs: {bad or ragged or unpaired} "
+            f"(ragged tactile/seg streams: {ragged}; "
+            f"frame/data.json mismatches: {unpaired}) — was the directory "
+            "written by more than one run, or a run killed mid-sequence?")
     seq_length = int(len(visual_images) / len(data_files))
     suffix = str(seq_length - 1).zfill(4)
     final_visual_images = sorted(dump_root.glob(f"**/visual_{suffix}.png"))

@@ -50,10 +50,13 @@ class ProblemConfig:
             # shock force is a lateral vector — a mirrored scene with an
             # un-mirrored force would corrupt the conditional dynamics) would
             # all silently decohere
-            assert (not self.use_pose and not self.conditional
-                    and self.problem_type != "regression"), (
-                "--augment supports image-only problems (visual/tactile/"
-                "visuotactile without --use-pose/--conditional)")
+            # ValueError (not assert): running under `python -O` must not
+            # silently drop a guard against corrupted supervision
+            if (self.use_pose or self.conditional
+                    or self.problem_type == "regression"):
+                raise ValueError(
+                    "--augment supports image-only problems (visual/tactile/"
+                    "visuotactile without --use-pose/--conditional)")
 
     @property
     def cross_modal(self) -> bool:

@@ -109,6 +109,10 @@ class Problem:
         self.model = self._build_model()
         key = jax.random.PRNGKey(seed)
         self._key, init_key = jax.random.split(key)
+        # prior-sampling keys come from a separate fold of the seed: skipping
+        # _sample via --image-interval must not shift the training/eval key
+        # stream (an interval>1 run stays bit-identical to interval=1)
+        self._sample_key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
         params = self._init_params(init_key)
         print(f"model: {self.cfg.model_name}  "
               f"params: {count_parameters(params):,}")
@@ -214,6 +218,9 @@ class Problem:
         n_batches = len(self.test_loader)
         losses, perf_acc = [], defaultdict(list)
         last_aux = None
+        # never render a stale batch from a previous epoch/configuration when
+        # the test loader yields nothing this epoch
+        self._last_eval_batch = None
         for batch in self._prefetch(self.test_loader):
             metrics, aux = self.eval_step(
                 self.state.params, batch, self._next_key(), jnp.float32(kl_weight))
@@ -276,11 +283,12 @@ class Problem:
     def _sample(self, epoch):
         if self.sample_fn is None:
             return
+        k_cond, k_z = jax.random.split(
+            jax.random.fold_in(self._sample_key, epoch))
         cond = None
         if self.cfg.conditional:
-            cond = jax.random.uniform(self._next_key(),
-                                      (50, self.cfg.condition_dim))
-        samples = self.sample_fn(self.state.params, self._next_key(), cond)
+            cond = jax.random.uniform(k_cond, (50, self.cfg.condition_dim))
+        samples = self.sample_fn(self.state.params, k_z, cond)
         for k, v in samples.items():
             arr = np.asarray(v)
             if arr.ndim == 4:

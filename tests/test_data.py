@@ -56,6 +56,16 @@ class TestCompileMath:
         with pytest.raises(ValueError, match="non-uniform dump"):
             compile_dataset(tmp_path, verbose=False)
 
+    def test_compile_rejects_ragged_tactile_stream(self, tmp_path):
+        """A run killed between writing visual_NNNN.png and its tactile_/seg_
+        frame keeps the visual counts uniform but misaligns the streams — the
+        guard must catch it via the per-directory tactile/seg counts."""
+        make_synthetic_dumps(tmp_path, n_sequences=4, seq_length=6)
+        victim = sorted((tmp_path / "dataset").glob("**/tactile_0005.png"))[0]
+        victim.unlink()
+        with pytest.raises(ValueError, match="non-uniform dump"):
+            compile_dataset(tmp_path, verbose=False)
+
     def test_compile_non_strict_keeps_all(self, tmp_path):
         make_synthetic_dumps(tmp_path, n_sequences=4, seq_length=6)
         out = compile_dataset(tmp_path, strict_parity=False, verbose=False)

@@ -169,15 +169,16 @@ class TestAugment:
         np.testing.assert_allclose(out[:, 0], out[:, 2], rtol=1e-6)
 
     def test_config_guards(self):
-        with pytest.raises(AssertionError):
+        # ValueError (not assert): must survive `python -O`
+        with pytest.raises(ValueError):
             ProblemConfig(problem_type="seq_modeling", input_type="visuotactile",
                           use_pose=True, augment=True)
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             ProblemConfig(problem_type="regression", input_type="visual",
                           model_name="regressor", augment=True)
         # directional conditions (exp_3 lateral shock force) would decohere
         # under a mirror flip — conditional runs are rejected too
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             ProblemConfig(problem_type="seq_modeling", input_type="visual",
                           model_name="cnn-vae", conditional=True,
                           condition_dim=1, augment=True)
