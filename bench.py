@@ -182,6 +182,10 @@ def main():
                          "default keeps activations 2-byte end-to-end "
                          "(+12%% over bfloat16 on this bandwidth-bound step)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--skip-dyn", action="store_true",
+                    help="skip the secondary dyn_modeling measurement")
+    ap.add_argument("--dyn-batch", type=int, default=256)
+    ap.add_argument("--dyn-seq-len", type=int, default=8)
     args = ap.parse_args()
 
     if args.platform:
@@ -196,20 +200,34 @@ def main():
     print(f"# jax: {fps:.1f} frames/s  ({step_time*1e3:.2f} ms/step, "
           f"batch {args.batch}, loss {loss:.1f})", file=sys.stderr)
 
-    vs_baseline = 0.0
+    result = {
+        "metric": METRIC,
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+    }
+
+    # secondary: the dyn_modeling step (every frame of B sequences x T frames
+    # per optimizer step) so a regression in the weakest config is visible in
+    # the round artifact, not only in tools/bench_matrix.py
+    if not args.skip_dyn:
+        dfps, dstep, _ = bench_train(
+            problem_type="dyn_modeling", batch=args.dyn_batch,
+            steps=max(args.steps // 2, 10), latent=args.latent,
+            bf16=args.bf16, seq_len=args.dyn_seq_len, dtype=dtype)
+        print(f"# jax dyn: {dfps:.1f} frames/s ({dstep*1e3:.2f} ms/step, "
+              f"batch {args.dyn_batch}x{args.dyn_seq_len})", file=sys.stderr)
+        result["dyn_frames_per_sec"] = round(dfps, 2)
+        result["dyn_ms_per_step"] = round(dstep * 1e3, 3)
+
     if not args.skip_torch:
         tfps, tstep = bench_torch_cpu(args.torch_batch, args.torch_steps,
                                       args.latent)
         print(f"# torch-cpu: {tfps:.1f} frames/s ({tstep*1e3:.1f} ms/step, "
               f"batch {args.torch_batch})", file=sys.stderr)
-        vs_baseline = fps / tfps
+        result["vs_baseline"] = round(fps / tfps, 2)
 
-    print(json.dumps({
-        "metric": METRIC,
-        "value": round(fps, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(vs_baseline, 2),
-    }))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

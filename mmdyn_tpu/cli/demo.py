@@ -25,6 +25,9 @@ parser.add_argument("--interval", type=int, default=10,
                     help="Number of timesteps between each snapshot.")
 parser.add_argument("--fast-shading", action="store_true", default=False,
                     help="float32 Phong (~2x faster snapshots)")
+parser.add_argument("--device-render", action="store_true", default=False,
+                    help="defer tactile shading to a batched accelerator "
+                    "pass at end of rollout (sim/tactile_jax.py)")
 parser.add_argument("--headless", action="store_true", default=False,
                     help="If true, uses headless rendering.")
 parser.add_argument("--engine", type=str, default="auto",
@@ -39,7 +42,7 @@ def main(argv=None):
     from mmdyn_tpu.sim.sensor import make_sensor
     from mmdyn_tpu.sim.assets import preload_object, spawn_object
     from mmdyn_tpu.sim import geometry, transforms
-    from mmdyn_tpu.cli._simrun import snapshot
+    from mmdyn_tpu.cli._simrun import DeferredTactile, snapshot
 
     args = parser.parse_args(argv)
     if args.seed is not None:
@@ -76,18 +79,21 @@ def main(argv=None):
 
     data = defaultdict(list)
     img_counter = 0
+    deferred = DeferredTactile() if args.device_render else None
     path = Path(args.logdir).joinpath("dataset")
 
     for t in range(args.n_timesteps):
         if (t + 1) % args.interval == 0:
             pose, _ = snapshot(sensor, obj_id, path, img_counter,
-                               show_image=args.show_image)
+                               show_image=args.show_image, deferred=deferred)
             data["time_step"].append(t)
             data["time"].append(t * config.TIME_STEP)
             data["position"].append(list(pose[0]))
             data["orientation"].append(list(pose[1]))
             img_counter += 1
         backend.step()
+    if deferred is not None:
+        deferred.flush()
 
     with open(path.joinpath("data.json"), "w") as f:
         json.dump(data, f)

@@ -32,6 +32,9 @@ parser.add_argument("--interval", type=int, default=10,
                     help="Timesteps between snapshots.")
 parser.add_argument("--fast-shading", action="store_true", default=False,
                     help="float32 Phong (~2x faster snapshots)")
+parser.add_argument("--device-render", action="store_true", default=False,
+                    help="defer tactile shading to a batched accelerator "
+                    "pass at end of rollout (sim/tactile_jax.py)")
 parser.add_argument("--headless", action="store_true", default=False)
 parser.add_argument("--debug", action="store_true", default=False)
 parser.add_argument("--trial_per_obj", type=int, default=10)
@@ -72,7 +75,7 @@ def run_trial(args, info, k, engine):
     from mmdyn_tpu.sim.sensor import make_sensor
     from mmdyn_tpu.sim.sample import sample_pose
     from mmdyn_tpu.sim.assets import spawn_object
-    from mmdyn_tpu.cli._simrun import snapshot
+    from mmdyn_tpu.cli._simrun import DeferredTactile, snapshot
 
     backend = setup_backend(time_step=config.TIME_STEP,
                             renders=not args.headless, gravity=True,
@@ -111,18 +114,21 @@ def run_trial(args, info, k, engine):
 
     data = defaultdict(list)
     img_counter = 0
+    deferred = DeferredTactile() if args.device_render else None
     path = Path(args.logdir).joinpath(info["synset"], info["obj_name"],
                                       "sequence_" + str(k).zfill(4))
     for t in range(args.n_timesteps):
         if (t + 1) % args.interval == 0:
             pose, _ = snapshot(sensor, obj_id, path, img_counter,
-                               show_image=args.show_image)
+                               show_image=args.show_image, deferred=deferred)
             data["time_step"].append(t)
             data["time"].append(t * config.TIME_STEP)
             data["position"].append(list(pose[0]))
             data["orientation"].append(list(pose[1]))
             img_counter += 1
         backend.step()
+    if deferred is not None:
+        deferred.flush()
 
     with open(path.joinpath("data.json"), "w") as f:
         json.dump(data, f)

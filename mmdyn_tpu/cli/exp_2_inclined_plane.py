@@ -27,6 +27,9 @@ parser.add_argument("--show_image", default=False, action="store_true")
 parser.add_argument("--interval", type=int, default=10)
 parser.add_argument("--fast-shading", action="store_true", default=False,
                     help="float32 Phong (~2x faster snapshots)")
+parser.add_argument("--device-render", action="store_true", default=False,
+                    help="defer tactile shading to a batched accelerator "
+                    "pass at end of rollout (sim/tactile_jax.py)")
 parser.add_argument("--headless", action="store_true", default=False)
 parser.add_argument("--slope", type=float, default=0.15,
                     help="Sensor tilt angle (radians).")
@@ -45,7 +48,7 @@ def run_trial(args, info, k, engine):
     from mmdyn_tpu.sim.sample import sample_pose
     from mmdyn_tpu.sim.assets import spawn_object
     from mmdyn_tpu.sim.transforms import quat_from_euler
-    from mmdyn_tpu.cli._simrun import snapshot
+    from mmdyn_tpu.cli._simrun import DeferredTactile, snapshot
 
     backend = setup_backend(time_step=config.TIME_STEP,
                             renders=not args.headless, gravity=True,
@@ -83,6 +86,7 @@ def run_trial(args, info, k, engine):
 
     data = defaultdict(list)
     img_counter = 0
+    deferred = DeferredTactile() if args.device_render else None
     path = Path(args.logdir).joinpath(info["synset"], info["obj_name"],
                                       "sequence_" + str(k).zfill(4))
     sensor_pose = backend.get_pose(sensor.sensor_id)
@@ -97,7 +101,8 @@ def run_trial(args, info, k, engine):
         if (t + 1) % args.interval == 0:
             pose, force = snapshot(sensor, obj_id, path, img_counter,
                                    mask_seg_to_obj=True,
-                                   show_image=args.show_image)
+                                   show_image=args.show_image,
+                                   deferred=deferred)
             data["time_step"].append(t)
             data["time"].append(t * config.TIME_STEP)
             data["position"].append(list(pose[0]))
@@ -105,6 +110,8 @@ def run_trial(args, info, k, engine):
             data["force"].append(force)
             img_counter += 1
         backend.step()
+    if deferred is not None:
+        deferred.flush()
 
     with open(path.joinpath("data.json"), "w") as f:
         json.dump(data, f)

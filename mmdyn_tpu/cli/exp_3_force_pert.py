@@ -29,6 +29,9 @@ parser.add_argument("--show_image", default=False, action="store_true")
 parser.add_argument("--interval", type=int, default=10)
 parser.add_argument("--fast-shading", action="store_true", default=False,
                     help="float32 Phong (~2x faster snapshots)")
+parser.add_argument("--device-render", action="store_true", default=False,
+                    help="defer tactile shading to a batched accelerator "
+                    "pass at end of rollout (sim/tactile_jax.py)")
 parser.add_argument("--headless", action="store_true", default=False)
 parser.add_argument("--force", type=float, default=1)
 parser.add_argument("--debug", action="store_true", default=False)
@@ -47,7 +50,7 @@ def run_trial(args, info, k, engine, force_amp):
     from mmdyn_tpu.sim.sensor import make_sensor
     from mmdyn_tpu.sim.sample import sample_pose
     from mmdyn_tpu.sim.assets import spawn_object
-    from mmdyn_tpu.cli._simrun import snapshot
+    from mmdyn_tpu.cli._simrun import DeferredTactile, snapshot
 
     backend = setup_backend(time_step=config.TIME_STEP,
                             renders=not args.headless, gravity=True,
@@ -85,6 +88,7 @@ def run_trial(args, info, k, engine, force_amp):
     data = defaultdict(list)
     shock = [force_amp * np.random.normal(), force_amp * np.random.normal(), 0]
     img_counter = 0
+    deferred = DeferredTactile() if args.device_render else None
     path = Path(args.logdir).joinpath(info["synset"], info["obj_name"],
                                       str(int(force_amp)),
                                       "sequence_" + str(k).zfill(4))
@@ -95,7 +99,8 @@ def run_trial(args, info, k, engine, force_amp):
         if (t + 1) % args.interval == 0 and t >= args.snapshot_from:
             pose, force = snapshot(sensor, obj_id, path, img_counter,
                                    mask_seg_to_obj=False,
-                                   show_image=args.show_image)
+                                   show_image=args.show_image,
+                                   deferred=deferred)
             data["time_step"].append(t)
             data["time"].append(t * config.TIME_STEP)
             data["position"].append(list(pose[0]))
@@ -104,6 +109,8 @@ def run_trial(args, info, k, engine, force_amp):
             data["shock"].append(shock)
             img_counter += 1
         backend.step()
+    if deferred is not None:
+        deferred.flush()
 
     with open(path.joinpath("data.json"), "w") as f:
         json.dump(data, f)

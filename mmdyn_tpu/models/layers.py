@@ -141,7 +141,19 @@ class Conv2d(nn.Module):
 
 
 class ConvTranspose2d(nn.Module):
-    """torch-semantics transposed conv (see module docstring)."""
+    """torch-semantics transposed conv (see module docstring).
+
+    ``MMDYN_DECONV=subpixel`` switches the (k=4, s=2, p=1) configuration —
+    every strided deconv in the DCGAN decoder (reference vae.py:268-277) —
+    to an exact sub-pixel decomposition instead of ``lhs_dilation``: one
+    dense 2x2 conv emitting the four output phases, then a pixel-shuffle
+    interleave (see ``_deconv_k4s2p1_subpixel``). Measured on v5e (2026-08,
+    docs/PARITY.md): the dilated lowering WINS decisively — subpixel's
+    phase interleave materialises extra copies in awful small-channel
+    layouts (dyn step 89 -> 203 ms, seq 21 -> 38 ms) — so dilated stays the
+    default and the subpixel path is kept as measured evidence and as a
+    fallback should XLA's input-dilation handling regress.
+    """
 
     features: int
     kernel_size: int
@@ -152,6 +164,8 @@ class ConvTranspose2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         in_ch = x.shape[-1]
         k = self.kernel_size
         pad = k - 1 - self.padding
@@ -163,19 +177,56 @@ class ConvTranspose2d(nn.Module):
             (k, k, in_ch, self.features), jnp.float32
         )
         xc, kc = _cast_compute(x, kernel, self.compute_dtype)
-        y = jax.lax.conv_general_dilated(
-            xc,
-            kc,
-            window_strides=(1, 1),
-            padding=[(pad, pad)] * 2,
-            lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        subpixel = (k == 4 and self.stride == 2 and self.padding == 1
+                    and os.environ.get("MMDYN_DECONV", "dilated") == "subpixel")
+        if subpixel:
+            y = _deconv_k4s2p1_subpixel(xc, kc, self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xc,
+                kc,
+                window_strides=(1, 1),
+                padding=[(pad, pad)] * 2,
+                lhs_dilation=(self.stride, self.stride),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         y = _uncast(y, self.compute_dtype)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(self.features * k * k), (self.features,))
             y = y + bias.astype(y.dtype)
         return y
+
+
+def _deconv_k4s2p1_subpixel(x, kernel, c_out):
+    """Exact sub-pixel lowering of ConvTranspose2d(k=4, s=2, p=1).
+
+    With input dilation 2 and spatial pad 2, output row m draws on kernel
+    taps of matching parity only:
+        y[2i]   = x[i-1] @ K[0] + x[i]   @ K[2]
+        y[2i+1] = x[i]   @ K[1] + x[i+1] @ K[3]
+    (per spatial dim; K in stored correlation orientation). Phase (di, dj)
+    is therefore a dense 2x2 conv with kernel K[2u+di, 2v+dj] over x padded
+    by 1, windows offset by the phase. One conv emits all four phases as
+    channel groups; a slice+stack interleave (fused by XLA) rebuilds the
+    (2H, 2W) output. Bit-identical sums to the dilated form modulo conv
+    accumulation order (the elided taps are exact zeros).
+    """
+    b, h, w, c_in = x.shape
+    # K[2u+di, 2v+dj, i, o] -> [u, di, v, dj, i, o] -> (u, v, i, (di, dj, o))
+    kp = jnp.reshape(kernel, (2, 2, 2, 2, c_in, c_out))
+    kp = jnp.transpose(kp, (0, 2, 4, 1, 3, 5))
+    kp = jnp.reshape(kp, (2, 2, c_in, 4 * c_out))
+    co = jax.lax.conv_general_dilated(
+        x, kp, window_strides=(1, 1), padding=[(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )                                           # (B, H+1, W+1, 4*C)
+    co = jnp.reshape(co, (b, h + 1, w + 1, 2, 2, c_out))
+    # t[b, i, di, j, dj, c] = co[b, i+di, j+dj, di, dj, c]
+    t = jnp.stack(
+        [jnp.stack([co[:, di:di + h, dj:dj + w, di, dj, :] for dj in (0, 1)],
+                   axis=3) for di in (0, 1)],
+        axis=2)                                  # (B, H, 2, W, 2, C)
+    return jnp.reshape(t, (b, 2 * h, 2 * w, c_out))
 
 
 class Dense(nn.Module):

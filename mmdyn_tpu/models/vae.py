@@ -156,8 +156,13 @@ class Decoder(nn.Module):
             h = swish(h)
             h = ConvTranspose2d(3, 4, 2, 1, use_bias=False, name="deconv_3",
                                 compute_dtype=dt)(h)
-            # logits leave the decoder in f32 regardless of the activation
-            # policy: the BCE-with-logits reduction is loss-critical math
+            # the BCE-with-logits reduction is loss-critical math and runs in
+            # f32 — but under bfloat16_full the conv output is already
+            # bf16-rounded, so a f32 container here adds bytes, not bits: the
+            # loss upcasts elementwise instead (fused into its reduce), and
+            # the (K, B, 64, 64, 3) logits + their cotangents stay 2-byte
+            if dt == "bfloat16_full":
+                return h
             return h.astype(jnp.float32)
         else:
             out = Mlp(tuple(self.layer_sizes) + (self.output_dim,),

@@ -205,13 +205,19 @@ fused_poe_reparam.defvjp(_fwd, _bwd)
 
 
 def _bce_jnp(logits, target, mask):
-    x = logits
-    z = jnp.broadcast_to(target[None], logits.shape)
+    # The naive form broadcasts the (B, ...) target over the K subset axis —
+    # XLA materialises that broadcast (plus layout copies) at dyn_modeling
+    # sizes. Split sum_k BCE(x_k, z) into a target-free part and a single
+    # z * (sum_k x_k) contraction instead: the target is read once, never
+    # broadcast, and both reductions share one fused pass over the logits.
+    # The f32 upcast happens here (fused into the reduce) so bf16 logits are
+    # never widened in HBM; reduction math is f32 throughout.
+    x = logits.astype(jnp.float32)
     if mask is not None:
         x = x * mask[None]
-        z = z * jnp.broadcast_to(mask[None], z.shape)
-    return jnp.sum(jnp.maximum(x, 0.0) - x * z
-                   + jnp.log1p(jnp.exp(-jnp.abs(x))))
+    target_free = jnp.sum(jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x))))
+    z = target if mask is None else target * mask
+    return target_free - jnp.sum(z * jnp.sum(x, axis=0))
 
 
 def _bce_kernel(logits_ref, target_ref, mask_ref, out_ref):
@@ -283,12 +289,20 @@ def _bce_lane_ok(logits):
 
 @jax.custom_vjp
 def fused_masked_bce_sum(logits, target, mask):
-    """Sum-reduced BCE-with-logits of (K, B, P) logits vs a shared (B, P)
-    target, optionally masked by (B, P) ``mask`` (multiplying both sides,
-    problems.py:409-411 semantics). Pallas on TPU for lane-aligned shapes
-    when MMDYN_FUSED_BCE=1; XLA-fused jnp otherwise."""
-    if FUSED_BCE and jax.default_backend() == "tpu" and _bce_lane_ok(logits):
-        return _bce_pallas(logits, target, mask)
+    """Sum-reduced BCE-with-logits of (K, B, ...) logits vs a shared (B, ...)
+    target, optionally masked by a (B, ...) ``mask`` (multiplying both sides,
+    problems.py:409-411 semantics). Trailing dims are arbitrary — image
+    losses pass native (K, B, H, W, C) tensors so no layout-changing flatten
+    is ever materialised. Pallas on TPU for lane-aligned shapes when
+    MMDYN_FUSED_BCE=1; XLA-fused jnp otherwise. bf16 logits are upcast
+    elementwise inside the fused reduction (f32 math, 2-byte traffic)."""
+    if FUSED_BCE and jax.default_backend() == "tpu":
+        k, b = logits.shape[:2]
+        flat = (jnp.reshape(logits, (k, b, -1)).astype(jnp.float32),
+                jnp.reshape(target, (b, -1)),
+                None if mask is None else jnp.reshape(mask, (b, -1)))
+        if _bce_lane_ok(flat[0]):
+            return _bce_pallas(*flat)
     return _bce_jnp(logits, target, mask)
 
 
@@ -298,16 +312,19 @@ def _bce_fwd(logits, target, mask):
 
 def _bce_bwd(res, g):
     logits, target, mask = res
+    x = logits.astype(jnp.float32)
     if mask is None:
-        x = logits
         z = target[None]
     else:
-        x = logits * mask[None]
+        x = x * mask[None]
         z = (target * mask)[None]
     d = g * (jax.nn.sigmoid(x) - z)
     if mask is not None:
         d = d * mask[None]
-    return d, None, None
+    # the cotangent re-enters the decoder backward in the logits dtype (bf16
+    # under bfloat16_full — identical rounding to the old f32-container path,
+    # where the astype-VJP performed this exact cast)
+    return d.astype(logits.dtype), None, None
 
 
 fused_masked_bce_sum.defvjp(_bce_fwd, _bce_bwd)

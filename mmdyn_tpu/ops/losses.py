@@ -27,7 +27,11 @@ def bce_with_logits(logits, targets, reduction="sum"):
     torch.nn.functional.binary_cross_entropy_with_logits.
 
     loss = max(x, 0) - x*z + log1p(exp(-|x|))
+
+    bf16 logits (the bfloat16_full decoder output) are upcast elementwise so
+    the loss math is always f32; the upcast fuses into the reduction.
     """
+    logits = logits.astype(jnp.float32)
     loss = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     if reduction == "sum":
         return jnp.sum(loss)

@@ -57,15 +57,33 @@ POSE_LOSS_POSE = (3, 4, 5, 6)
 
 def _img_recon_sum(recons, target, loss_mask):
     """Sum-reduced BCE-with-logits of (K, B, H, W, C) recons vs one target.
-    Routed through fused_masked_bce_sum: broadcast + mask + BCE + reduce in
-    one pass (Pallas on TPU behind MMDYN_FUSED_BCE; XLA fusion otherwise)."""
+    Routed through fused_masked_bce_sum in the native conv-output shape (no
+    layout-changing flatten): mask + BCE + reduce fuse into one pass over the
+    logits (Pallas on TPU behind MMDYN_FUSED_BCE; XLA fusion otherwise)."""
     from mmdyn_tpu.ops.kernels import fused_masked_bce_sum
 
-    k, b = recons.shape[:2]
-    flat = lambda a: jnp.reshape(a, a.shape[:a.ndim - 3] + (-1,))
-    return fused_masked_bce_sum(
-        jnp.reshape(recons, (k, b, -1)), flat(target),
-        None if loss_mask is None else flat(loss_mask))
+    return fused_masked_bce_sum(recons, target, loss_mask)
+
+
+def _subset_decode(decode_fn, z_sel):
+    """vmapped decode over the subset axis; MMDYN_DECODE_CHUNK=n splits it
+    into sequential groups of n subsets (optimization_barrier-chained) to
+    shrink the concurrently-live decode working set. A/B-measured on v5e —
+    see docs/PARITY.md (the logits must outlive the forward for the backward
+    pass either way, so this changes scheduling, not footprint)."""
+    import os
+
+    chunk = int(os.environ.get("MMDYN_DECODE_CHUNK", "0"))
+    k = z_sel.shape[0]
+    if chunk <= 0 or chunk >= k:
+        return jax.vmap(decode_fn)(z_sel)
+    outs = []
+    for i in range(0, k, chunk):
+        zz = z_sel[i:i + chunk]
+        if outs:
+            zz, _ = jax.lax.optimization_barrier((zz, outs[-1]))
+        outs.append(jax.vmap(decode_fn)(zz))
+    return jnp.concatenate(outs, axis=0)
 
 
 def mvae_evaluate(model, variables, rng, inputs, targets, kl_weight, cfg):
@@ -121,8 +139,10 @@ def mvae_evaluate(model, variables, rng, inputs, targets, kl_weight, cfg):
     vis_idx = jnp.array(VIS_LOSS_POSE if use_pose else VIS_LOSS_NO_POSE)
     tac_idx = jnp.array(TAC_LOSS_POSE if use_pose else TAC_LOSS_NO_POSE)
 
-    recon_v = jax.vmap(lambda zz: apply(mcls.decode_visual, zz, condition))(z[vis_idx])
-    recon_t = jax.vmap(lambda zz: apply(mcls.decode_tactile, zz, condition))(z[tac_idx])
+    recon_v = _subset_decode(lambda zz: apply(mcls.decode_visual, zz, condition),
+                             z[vis_idx])
+    recon_t = _subset_decode(lambda zz: apply(mcls.decode_tactile, zz, condition),
+                             z[tac_idx])
 
     batch_size = visual.shape[0]
     recon_error = (_img_recon_sum(recon_v, t_v, loss_mask)

@@ -53,6 +53,44 @@ class TestLayers:
         np.testing.assert_allclose(
             np.asarray(got), want.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5)
 
+    def test_subpixel_deconv_matches_dilated(self, monkeypatch):
+        """The MMDYN_DECONV=subpixel lowering of (k=4, s=2, p=1) must agree
+        with the default dilated lowering (forward and gradients) — the
+        elided dilation taps are exact zeros."""
+        from mmdyn_tpu.models.layers import _deconv_k4s2p1_subpixel
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(4, 4, 4, 6)).astype(np.float32))
+
+        def dilated(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), [(2, 2)] * 2, lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        a = dilated(x, k)
+        b = _deconv_k4s2p1_subpixel(x, k, 6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+        ga = jax.grad(lambda x, k: jnp.sum(jnp.sin(dilated(x, k))),
+                      argnums=(0, 1))(x, k)
+        gb = jax.grad(
+            lambda x, k: jnp.sum(jnp.sin(_deconv_k4s2p1_subpixel(x, k, 6))),
+            argnums=(0, 1))(x, k)
+        for u, v in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-4, atol=1e-5)
+
+        # the env switch routes the layer through the subpixel path
+        monkeypatch.setenv("MMDYN_DECONV", "subpixel")
+        layer = ConvTranspose2d(6, 4, 2, 1, use_bias=False)
+        params = layer.init(jax.random.PRNGKey(0), x)
+        got_sp = layer.apply(params, x)
+        monkeypatch.setenv("MMDYN_DECONV", "dilated")
+        got_dil = layer.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got_sp), np.asarray(got_dil),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_train_batchnorm_matches_torch_train_mode(self):
         rng = np.random.default_rng(2)
         x = rng.normal(2.0, 3.0, size=(8, 6, 6, 5)).astype(np.float32)

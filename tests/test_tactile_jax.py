@@ -42,3 +42,46 @@ def test_batched_rendering_shapes():
     assert out.shape == (3, 480, 640, 3)
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out[0], out[2])
+
+
+def test_per_frame_state_matches_static_path():
+    """render_frames with the sensor's own captured state must reproduce the
+    static-matrix path exactly (same math, per-frame plumbing)."""
+    backend, sensor = _scene()
+    _, _, depth_clip, _, _ = sensor.get_sensor_image()
+    renderer = TactileRendererJax.from_sensor(sensor)
+    static = np.asarray(renderer(np.asarray(depth_clip)[None]))
+
+    m_inv, eye, dirs = TactileRendererJax.capture_frame_state(sensor)
+    dyn = np.asarray(renderer.render_frames(
+        np.asarray(depth_clip)[None], m_inv[None], eye[None], dirs[None]))
+    diff = np.abs(static.astype(int) - dyn.astype(int))
+    assert (diff <= 1).mean() > 0.9999, f"frac within 1: {(diff <= 1).mean()}"
+
+
+def test_demo_device_render_dump_parity(tmp_path):
+    """--device-render writes tactile PNGs equivalent to the host pipeline's
+    (within 1 uint8 outside contact-edge pixels) and identical other streams."""
+    import cv2
+
+    from mmdyn_tpu.cli import demo
+
+    host_dir, dev_dir = tmp_path / "host", tmp_path / "dev"
+    common = ["--headless", "--engine", "analytic", "--n_timesteps", "120",
+              "--interval", "20", "--seed", "3", "--object", "bowl"]
+    demo.main(common + ["--logdir", str(host_dir)])
+    demo.main(common + ["--logdir", str(dev_dir), "--device-render"])
+
+    host_pngs = sorted((host_dir / "dataset").glob("tactile_*.png"))
+    dev_pngs = sorted((dev_dir / "dataset").glob("tactile_*.png"))
+    assert len(host_pngs) == len(dev_pngs) == 6
+    for hp, dp in zip(host_pngs, dev_pngs):
+        a = cv2.imread(str(hp)).astype(int)
+        b = cv2.imread(str(dp)).astype(int)
+        diff = np.abs(a - b)
+        assert (diff <= 1).mean() > 0.998, (hp.name, (diff <= 1).mean())
+    # non-tactile streams are written by the same host path either way
+    for name in ("visual_0003.png", "depth_0003.png", "seg_0003.png"):
+        a = cv2.imread(str(host_dir / "dataset" / name))
+        b = cv2.imread(str(dev_dir / "dataset" / name))
+        np.testing.assert_array_equal(a, b)

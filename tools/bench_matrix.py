@@ -32,6 +32,11 @@ CONFIGS = [
          input_type="visuotactile", use_pose=True, problem_type="seq_modeling"),
     dict(name="cnn-mvae/vt+pose/dyn", model_name="cnn-mvae",
          input_type="visuotactile", use_pose=True, problem_type="dyn_modeling"),
+    # the reference's own default batch size (main.py:25) on the headline
+    # config — tracks small-batch latency, not just saturated throughput
+    dict(name="cnn-mvae/vt+pose/seq@128", model_name="cnn-mvae",
+         input_type="visuotactile", use_pose=True, problem_type="seq_modeling",
+         batch=128),
 ]
 
 
@@ -62,8 +67,9 @@ def main():
     print(f"{'config':26} {'batch':>6} {'ms/step':>9} {'frames/s':>12}",
           file=sys.stderr)
     for spec in CONFIGS:
-        batch = args.dyn_batch if spec["problem_type"] == "dyn_modeling" \
-            else args.batch
+        batch = spec.get("batch") or (
+            args.dyn_batch if spec["problem_type"] == "dyn_modeling"
+            else args.batch)
         dtype = args.dtype if args.bf16 else "float32"
         fps, step_time, loss = bench_config(spec, batch, args.steps,
                                             args.latent, args.bf16,
