@@ -39,6 +39,9 @@ class ProblemConfig:
     augment: bool = False            # on-device train-time augmentation
     augment_shift: int = 4           # max |pixels| of random translation
     augment_brightness: float = 0.1  # max relative brightness jitter
+    noise_free: bool = False         # z = posterior mean (diagnostic knob
+                                     # for controlled parity experiments —
+                                     # tools/elbo_parity.py --noise-free)
 
     def __post_init__(self):
         assert self.problem_type in cfg_mod.PROBLEM_TYPES, "Invalid problem type."

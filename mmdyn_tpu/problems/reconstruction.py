@@ -132,8 +132,11 @@ def mvae_evaluate(model, variables, rng, inputs, targets, kl_weight, cfg):
     subsets = jnp.array(SUBSETS_POSE if use_pose else SUBSETS_NO_POSE)
     # fused PoE + reparameterisation over all subsets (Pallas on TPU); the
     # (K, B, D) noise matches what reparametrize(k_rep, ...) would draw
-    noise = jax.random.normal(k_rep, (subsets.shape[0],) + mu_v.shape,
-                              mu_v.dtype)
+    noise_shape = (subsets.shape[0],) + mu_v.shape
+    if getattr(cfg, "noise_free", False):
+        noise = jnp.zeros(noise_shape, mu_v.dtype)   # z = pd_mu (diagnostic)
+    else:
+        noise = jax.random.normal(k_rep, noise_shape, mu_v.dtype)
     z, pd_mu, pd_lv = fused_poe_reparam(mu_m, lv_m, subsets, noise)
 
     vis_idx = jnp.array(VIS_LOSS_POSE if use_pose else VIS_LOSS_NO_POSE)

@@ -48,3 +48,72 @@ class TestPlotRun:
         summary = json.loads((tmp_path / "curve.json").read_text())
         assert summary["epochs"] == 5
         assert summary["train_last"] == 96.0
+
+
+class TestBulletDiff:
+    """The cross-engine diff harness must itself be known-good: identical
+    runs diff to zero, perturbed runs are detected, and the report survives
+    the fake-Bullet engine pair."""
+
+    def _run(self, argv):
+        from tools import bullet_diff
+        import io, contextlib
+        buf = io.StringIO()
+        code = 0
+        with contextlib.redirect_stdout(buf):
+            try:
+                bullet_diff.main(argv)
+            except SystemExit as e:
+                code = int(e.code or 0)
+        # the in-process CLI runs print progress lines; the report is last
+        return json.loads(buf.getvalue().strip().splitlines()[-1]), code
+
+    def test_same_engine_same_seed_is_identical(self, tmp_path):
+        report, code = self._run([
+            "--script", "demo", "--engines", "analytic,analytic",
+            "--seed", "3", "--n_timesteps", "60", "--interval", "20",
+            "--workdir", str(tmp_path)])
+        assert code == 0 and report["ok"]
+        seq = report["sequences"][0]
+        assert seq["pos_l2_max"] == 0.0
+        # acos rounding on a unit dot product leaves ~1e-4 deg of noise
+        assert seq["orn_deg_final"] < 0.01
+        assert seq["visual_mad_max"] == 0.0
+        assert seq["tactile_mad_max"] == 0.0
+        assert seq["seg_coverage_a"] == seq["seg_coverage_b"]
+
+    def test_detects_divergence(self, tmp_path):
+        """Different objects fall differently -> nonzero pose and image
+        diffs, and a tight tolerance trips the failure path. (The demo drop
+        itself is deterministic, so divergence comes from the scene.)"""
+        from mmdyn_tpu.cli import demo
+        a, b = tmp_path / "a", tmp_path / "b"
+        common = ["--headless", "--engine", "analytic", "--n_timesteps",
+                  "60", "--interval", "20", "--seed", "3"]
+        demo.main(common + ["--object", "winebottle", "--logdir", str(a)])
+        demo.main(common + ["--object", "bowl", "--logdir", str(b)])
+        report, code = self._run([
+            "--skip-run", "--engines", "a,b", "--workdir", str(tmp_path),
+            "--tol-pos-final", "1e-6", "--tol-img-mad", "1e-6"])
+        assert code == 1 and not report["ok"]
+        assert report["sequences"][0]["pos_l2_final"] > 0
+        assert report["failures"]
+
+    def test_fake_bullet_vs_analytic(self, tmp_path, monkeypatch):
+        """The pybullet,analytic pair runs end-to-end against the functional
+        fake — the exact invocation to use on a real-Bullet machine."""
+        import tests.fake_pybullet as fake_pybullet
+        monkeypatch.chdir(REPO)
+        fake_pybullet.install()
+        try:
+            report, code = self._run([
+                "--script", "demo", "--engines", "pybullet,analytic",
+                "--seed", "3", "--n_timesteps", "60", "--interval", "20",
+                "--workdir", str(tmp_path),
+                "--extra=--fast-shading,--object,bowl"])
+        finally:
+            fake_pybullet.uninstall()
+        seq = report["sequences"][0]
+        assert seq["frames"] == 3
+        # both engines must at least agree the object is in view
+        assert seq["seg_coverage_a"] > 0 and seq["seg_coverage_b"] > 0

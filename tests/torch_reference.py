@@ -18,7 +18,7 @@ class GoldSwish(nn.Module):
 
 
 class GoldEncoder(nn.Module):
-    def __init__(self, latent_size):
+    def __init__(self, latent_size, dropout=False):
         super().__init__()
         self.conv_net = nn.Sequential(
             nn.Conv2d(3, 32, 4, 2, 1, bias=False), GoldSwish(),
@@ -27,6 +27,10 @@ class GoldEncoder(nn.Module):
             nn.Conv2d(128, 256, 4, 1, 0, bias=False), nn.BatchNorm2d(256), GoldSwish(),
         )
         self.fc = nn.Linear(256 * 5 * 5, 512)
+        # dropout off by default (deterministic golden-value parity tests);
+        # the trajectory harness turns it on to match the reference's
+        # Dropout(0.1) (vae.py:207) symmetrically
+        self.drop = nn.Dropout(0.1) if dropout else nn.Identity()
         self.linear_means = nn.Linear(512, latent_size)
         self.linear_log_var = nn.Linear(512, latent_size)
 
@@ -35,7 +39,7 @@ class GoldEncoder(nn.Module):
         h = h.reshape(h.size(0), -1)
         h = self.fc(h)
         h = h * torch.sigmoid(h)
-        # dropout disabled for deterministic parity
+        h = self.drop(h)
         return self.linear_means(h), self.linear_log_var(h)
 
 
@@ -95,13 +99,13 @@ def gold_poe(mu, logvar, eps=1e-8):
 class GoldMVAE(nn.Module):
     """Reference-semantics MVAE; z = posterior mean (noise-free parity)."""
 
-    def __init__(self, latent_size, use_pose):
+    def __init__(self, latent_size, use_pose, dropout=False):
         super().__init__()
         self.latent_size = latent_size
         self.use_pose = use_pose
-        self.visual_encoder = GoldEncoder(latent_size)
+        self.visual_encoder = GoldEncoder(latent_size, dropout=dropout)
         self.visual_decoder = GoldDecoder(latent_size)
-        self.tactile_encoder = GoldEncoder(latent_size)
+        self.tactile_encoder = GoldEncoder(latent_size, dropout=dropout)
         self.tactile_decoder = GoldDecoder(latent_size)
         if use_pose:
             self.pose_encoder = GoldPoseEncoder(latent_size)
@@ -165,6 +169,58 @@ def gold_mvae_evaluate(model, xv, xt, xp, kl_weight, pose_multiplier):
         loss = loss + gold_mvae_elbo([pr4], [xp], mu, lv,
                                      kl_weight, pose_multiplier)
     return loss
+
+
+class GoldRegressor(nn.Module):
+    """Reference-semantics CNN pose regressor (models.py:28-77): the encoder
+    conv trunk, FC 6400 -> 512 + Swish (+ Dropout), MLP 512 -> 256 -> 256 ->
+    out_dim with ReLU between."""
+
+    def __init__(self, out_dim=7, dropout=False):
+        super().__init__()
+        self.conv_net = nn.Sequential(
+            nn.Conv2d(3, 32, 4, 2, 1, bias=False), GoldSwish(),
+            nn.Conv2d(32, 64, 4, 2, 1, bias=False), nn.BatchNorm2d(64), GoldSwish(),
+            nn.Conv2d(64, 128, 4, 2, 1, bias=False), nn.BatchNorm2d(128), GoldSwish(),
+            nn.Conv2d(128, 256, 4, 1, 0, bias=False), nn.BatchNorm2d(256), GoldSwish(),
+        )
+        self.fc = nn.Linear(256 * 5 * 5, 512)
+        self.drop = nn.Dropout(0.1) if dropout else nn.Identity()
+        self.head = nn.Sequential(
+            nn.Linear(512, 256), nn.ReLU(),
+            nn.Linear(256, 256), nn.ReLU(),
+            nn.Linear(256, out_dim),
+        )
+
+    def forward(self, x):
+        h = self.conv_net(x)
+        h = h.reshape(h.size(0), -1)
+        h = self.fc(h)
+        h = h * torch.sigmoid(h)
+        return self.head(self.drop(h))
+
+
+def load_regressor(gold: GoldRegressor, p):
+    """Transplant mmdyn_tpu Regressor params into the torch golden model."""
+    conv_layers = [m for m in gold.conv_net if isinstance(m, nn.Conv2d)]
+    bn_layers = [m for m in gold.conv_net if isinstance(m, nn.BatchNorm2d)]
+    with torch.no_grad():
+        for i, conv in enumerate(conv_layers):
+            k = np.asarray(p[f"conv_{i}"]["kernel"])
+            conv.weight.copy_(torch.tensor(k.transpose(3, 2, 0, 1)))
+        for i, bn in enumerate(bn_layers):
+            bnp = p[f"bn_{i+1}"]
+            bn.weight.copy_(torch.tensor(np.asarray(bnp["scale"])))
+            bn.bias.copy_(torch.tensor(np.asarray(bnp["bias"])))
+        fk = np.asarray(p["fc"]["kernel"])
+        perm = _nhwc_to_nchw_fc_perm()
+        gold.fc.weight.copy_(torch.tensor(fk[perm].T))
+        gold.fc.bias.copy_(torch.tensor(np.asarray(p["fc"]["bias"])))
+        lins = [m for m in gold.head if isinstance(m, nn.Linear)]
+        for j, lin in enumerate(lins):
+            lp = p[f"out_{j}"]
+            lin.weight.copy_(torch.tensor(np.asarray(lp["kernel"]).T))
+            lin.bias.copy_(torch.tensor(np.asarray(lp["bias"])))
 
 
 # ---------------------------------------------------------------------------

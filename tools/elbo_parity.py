@@ -1,15 +1,30 @@
-"""ELBO-parity harness: train mmdyn_tpu and a reference-semantics PyTorch
-implementation side by side on the SAME data and compare ELBO trajectories.
+"""Training-trajectory parity harness: train mmdyn_tpu and a
+reference-semantics PyTorch implementation side by side on the SAME data and
+compare loss trajectories.
 
-The torch model is the golden reimplementation used by the parity tests
-(tests/torch_reference.py) — same architecture, same sequential subset-pass
-evaluation as the reference problems.py. Both sides use Adam(lr), the same
-KL-annealing schedule, the same batches in the same order, and fresh noise.
-Since the two frameworks draw different random numbers, trajectories are
-compared statistically: per-epoch mean train ELBO, with the final-epoch
-relative gap as the headline number (BASELINE.md target: within 1%).
+The torch side is the golden reimplementation from tests/torch_reference.py —
+same architecture, same sequential subset-pass evaluation as the reference
+problems.py. Both sides use Adam(lr), the same KL-annealing schedule and the
+same batches in the same order. Supported problems:
 
-    python tools/elbo_parity.py --epochs 5 --batch 16 --n-seq 32 --latent 64
+  * ``seq_modeling``  — input = frame 0 per sequence, target = resting frame
+                        (problems.py:634-673); the round-2 headline config.
+  * ``dyn_modeling``  — input = every frame (B*T flattened), target =
+                        roll(-1) with the resting-frame patch at sequence
+                        ends; pose targets rolled WITHOUT the patch,
+                        replicating problems.py:765-803 exactly.
+  * ``regression``    — visual frame 0 -> final 7-D pose, MSE-sum
+                        (problems.py:263-359).
+
+Stochasticity controls for root-cause experiments (docs/PARITY.md):
+  --noise-free    z = posterior mean on BOTH sides (no reparam noise)
+  --no-dropout    Dropout(0.1) disabled on BOTH sides (the default runs
+                  dropout symmetrically: active in jax AND torch)
+  --shared-init   transplant the jax initial weights into torch, removing
+                  init-distribution differences
+
+    python tools/elbo_parity.py --problem dyn_modeling \
+        --dataset data_runs/exp1_full --n-seq 64 --batch 8 --epochs 30
 
 Prints one JSON line:
     {"final_gap_pct": ..., "jax_elbo": [...], "torch_elbo": [...]}
@@ -27,21 +42,25 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def make_data(n_seq, batch, seed=0):
-    """Synthetic dataset: visuotactile+pose frames in [0,1]; autoencoding
-    targets (= inputs)."""
+# ---------------------------------------------------------------------------
+# data
+# ---------------------------------------------------------------------------
+
+def make_synthetic_sequences(n_seq, seq_len=4, seed=0):
     rng = np.random.default_rng(seed)
-    xv = rng.uniform(size=(n_seq, 64, 64, 3)).astype(np.float32)
-    xt = rng.uniform(size=(n_seq, 64, 64, 3)).astype(np.float32)
-    xp = rng.uniform(size=(n_seq, 7)).astype(np.float32)
-    return (xv, xt, xp), (xv, xt, xp)
+    f = lambda *s: rng.uniform(size=s).astype(np.float32)
+    return {
+        "visual": f(n_seq, seq_len, 64, 64, 3),
+        "tactile": f(n_seq, seq_len, 64, 64, 3),
+        "pose": f(n_seq, seq_len, 7),
+        "final_visual": f(n_seq, 64, 64, 3),
+        "final_tactile": f(n_seq, 64, 64, 3),
+        "final_pose": f(n_seq, 7),
+    }
 
 
-def make_data_from_compiled(path, n_seq=None):
-    """Real compiled dataset -> the reference seq_modeling view: input =
-    frame 0 of each sequence, target = the resting frame (problems.py:648-655
-    [::seq_length] stride on the flattened batch picks exactly frame 0; the
-    per-frame targets are all the resting frame)."""
+def load_compiled_sequences(path, n_seq=None):
+    """Full (n, T, ...) sequence arrays from a compiled dataset."""
     from mmdyn_tpu.data.compile import COMPILED_NAME, load_packed
 
     p = Path(path)
@@ -52,45 +71,76 @@ def make_data_from_compiled(path, n_seq=None):
                                                        d["visual"].shape[0])
     to_f = lambda a: (np.asarray(a, np.float32) / 255.0
                       if a.dtype == np.uint8 else np.asarray(a, np.float32))
-    inputs = (to_f(d["visual"][:n, 0]), to_f(d["tactile"][:n, 0]),
-              np.asarray(d["pose"][:n, 0], np.float32))
-    targets = (to_f(d["final_visual"][:n]), to_f(d["final_tactile"][:n]),
-               np.asarray(d["final_pose"][:n], np.float32))
-    return inputs, targets
+    return {
+        "visual": to_f(d["visual"][:n]),
+        "tactile": to_f(d["tactile"][:n]),
+        "pose": np.asarray(d["pose"][:n], np.float32),
+        "final_visual": to_f(d["final_visual"][:n]),
+        "final_tactile": to_f(d["final_tactile"][:n]),
+        "final_pose": np.asarray(d["final_pose"][:n], np.float32),
+    }
 
 
-def run_jax(inputs, targets, epochs, batch, latent, lr, anneal, seed=0,
-            dtype="float32"):
-    xv, xt, xp = inputs
-    yv, yt, yp = targets
+def dyn_flatten_roll(x_bt, final):
+    """The reference dyn_modeling target construction on a (B, T, ...) block
+    (problems.py:765-803): flatten to (B*T, ...), roll -1 along the flattened
+    axis, patch each sequence's last step with the resting frame."""
+    b, t = x_bt.shape[:2]
+    flat = x_bt.reshape((b * t,) + x_bt.shape[2:])
+    tgt = np.roll(flat, -1, axis=0).copy()
+    tgt[t - 1::t] = final
+    return flat, tgt
+
+
+# ---------------------------------------------------------------------------
+# jax side — uses the production parse/evaluate path
+# ---------------------------------------------------------------------------
+
+def run_jax(seqs, args, seed=0, init_params_out=None):
     import jax
     import jax.numpy as jnp
     import optax
     from mmdyn_tpu.models import setup_model
     from mmdyn_tpu.problems.base import ProblemConfig, anneal_kl
-    from mmdyn_tpu.problems.reconstruction import mvae_evaluate
+    from mmdyn_tpu.problems.specs import evaluate, parse_batch
     from mmdyn_tpu.train.state import create_train_state
 
-    cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
-                        input_type="visuotactile", use_pose=True,
-                        latent_size=latent, batchsize=batch, lr=lr,
-                        annealing_epochs=anneal, compute_dtype=dtype)
-    model = setup_model("cnn-mvae", cross_modal=True, latent_size=latent,
-                        use_pose=True, compute_dtype=dtype)
+    is_reg = args.problem == "regression"
+    cfg = ProblemConfig(
+        problem_type=args.problem,
+        model_name="regressor" if is_reg else "cnn-mvae",
+        input_type="visual" if is_reg else "visuotactile",
+        use_pose=not is_reg, latent_size=args.latent, batchsize=args.batch,
+        lr=args.lr, annealing_epochs=args.anneal, compute_dtype=args.dtype,
+        noise_free=args.noise_free)
+    drop = 0.0 if args.no_dropout else 0.1
+    if is_reg:
+        model = setup_model("regressor", out_dim=7, dropout_rate=drop,
+                            compute_dtype=args.dtype)
+    else:
+        model = setup_model("cnn-mvae", cross_modal=True,
+                            latent_size=args.latent, use_pose=True,
+                            dropout_rate=drop, compute_dtype=args.dtype)
+
     ks = jax.random.split(jax.random.PRNGKey(seed), 3)
-    variables = model.init(
-        {"params": ks[0], "dropout": ks[1], "reparam": ks[2]},
-        [jnp.asarray(xv[:2]), jnp.asarray(xt[:2])], jnp.asarray(xp[:2]))
-    tx = optax.adam(lr)
+    rngs = {"params": ks[0], "dropout": ks[1], "reparam": ks[2]}
+    img = jnp.zeros((2, 64, 64, 3))
+    if is_reg:
+        variables = model.init(rngs, img)
+    else:
+        variables = model.init(rngs, [img, img], jnp.zeros((2, 7)))
+    if init_params_out is not None:
+        init_params_out.append(jax.tree_util.tree_map(np.asarray,
+                                                      variables["params"]))
+    tx = optax.adam(args.lr)
     state = create_train_state(variables["params"], tx)
 
     @jax.jit
-    def step(state, bv, bt, bp, tv, tt, tp, key, klw):
+    def step(state, batch, key, klw):
         def loss_fn(params):
-            ins = {"visual": bv, "tactile": bt, "pose": bp}
-            tgts = {"visual": tv, "tactile": tt, "pose": tp}
-            loss, _ = mvae_evaluate(model, {"params": params}, key, ins,
-                                    tgts, klw, cfg)
+            inputs, targets = parse_batch(cfg, batch)
+            loss, _ = evaluate(cfg, model, {"params": params}, key, inputs,
+                               targets, klw)
             return loss
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state)
@@ -98,42 +148,53 @@ def run_jax(inputs, targets, epochs, batch, latent, lr, anneal, seed=0,
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), loss
 
-    n = xv.shape[0]
-    nb = n // batch
+    n = seqs["visual"].shape[0]
+    nb = n // args.batch
     key = jax.random.PRNGKey(seed + 1)
     history = []
-    for epoch in range(epochs):
-        klw = jnp.float32(anneal_kl(epoch, anneal))
+    for epoch in range(args.epochs):
+        klw = jnp.float32(anneal_kl(epoch, args.anneal))
         losses = []
         for b in range(nb):
-            sl = slice(b * batch, (b + 1) * batch)
+            sl = slice(b * args.batch, (b + 1) * args.batch)
+            batch = {k: jnp.asarray(v[sl]) for k, v in seqs.items()}
             key, sub = jax.random.split(key)
-            state, loss = step(state, jnp.asarray(xv[sl]), jnp.asarray(xt[sl]),
-                               jnp.asarray(xp[sl]), jnp.asarray(yv[sl]),
-                               jnp.asarray(yt[sl]), jnp.asarray(yp[sl]),
-                               sub, klw)
+            state, loss = step(state, batch, sub, klw)
             losses.append(float(loss))
         history.append(float(np.mean(losses)))
-        print(f"# jax epoch {epoch}: {history[-1]:.1f}", file=sys.stderr)
+        print(f"# jax epoch {epoch}: {history[-1]:.2f}", file=sys.stderr)
     return history
 
 
-def run_torch(inputs, targets, epochs, batch, latent, lr, anneal, seed=0):
+# ---------------------------------------------------------------------------
+# torch side — reference-semantics sequential passes
+# ---------------------------------------------------------------------------
+
+def run_torch(seqs, args, seed=0, init_params=None):
     import torch
-    from tests.torch_reference import GoldMVAE, gold_mvae_evaluate
+    from tests.torch_reference import (GoldMVAE, GoldRegressor, gold_poe,
+                                       gold_mvae_elbo, load_mvae,
+                                       load_regressor)
     from mmdyn_tpu.problems.base import anneal_kl
 
-    xv, xt, xp = inputs
-    yv, yt, yp = targets
     torch.manual_seed(seed)
-    model = GoldMVAE(latent_size=latent, use_pose=True)
+    is_reg = args.problem == "regression"
+    dropout = not args.no_dropout
+    if is_reg:
+        model = GoldRegressor(out_dim=7, dropout=dropout)
+        if init_params is not None:
+            load_regressor(model, init_params)
+    else:
+        model = GoldMVAE(latent_size=args.latent, use_pose=True,
+                         dropout=dropout)
+        if init_params is not None:
+            load_mvae(model, init_params)
     model.train()
-    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    opt = torch.optim.Adam(model.parameters(), lr=args.lr)
 
-    def evaluate_with_noise(m, bv, bt, bp, gv, gt, gp, klw):
-        # replicate gold_mvae_evaluate but with z ~ N(mu, sigma)
-        from tests.torch_reference import gold_poe, gold_mvae_elbo
+    to_img = lambda a: torch.tensor(a.transpose(0, 3, 1, 2))
 
+    def mvae_eval(m, bv, bt, bp, gv, gt, gp, klw):
         def fwd(v, t, p):
             present = [x for x in (v, t, p) if x is not None]
             b = present[0].size(0)
@@ -149,8 +210,11 @@ def run_torch(inputs, targets, epochs, batch, latent, lr, anneal, seed=0):
                 mu, lvr = m.pose_encoder(p)
                 mus.append(mu[None]); lvs.append(lvr[None])
             mu, lv = gold_poe(torch.cat(mus), torch.cat(lvs))
-            std = torch.exp(0.5 * lv)
-            z = mu + torch.randn_like(std) * std   # vae.py:52-61
+            if args.noise_free:
+                z = mu
+            else:
+                std = torch.exp(0.5 * lv)
+                z = mu + torch.randn_like(std) * std   # vae.py:52-61
             return (m.visual_decoder(z), m.tactile_decoder(z),
                     m.pose_decoder(z), mu, lv)
 
@@ -171,34 +235,63 @@ def run_torch(inputs, targets, epochs, batch, latent, lr, anneal, seed=0):
         loss = loss + gold_mvae_elbo([pr], [gp], mu, lv, klw, 1000.0)
         return loss
 
-    n = xv.shape[0]
-    nb = n // batch
-    to_t = lambda a: torch.tensor(a.transpose(0, 3, 1, 2)) if a.ndim == 4 \
-        else torch.tensor(a)
-    tv, tt, tp = to_t(xv), to_t(xt), to_t(xp)
-    gv_all, gt_all, gp_all = to_t(yv), to_t(yt), to_t(yp)
+    def batch_views(sl):
+        """Per-problem (inputs, targets) for one batch of sequences."""
+        if args.problem == "seq_modeling":
+            return ((seqs["visual"][sl, 0], seqs["tactile"][sl, 0],
+                     seqs["pose"][sl, 0]),
+                    (seqs["final_visual"][sl], seqs["final_tactile"][sl],
+                     seqs["final_pose"][sl]))
+        if args.problem == "dyn_modeling":
+            bv, gv = dyn_flatten_roll(seqs["visual"][sl],
+                                      seqs["final_visual"][sl])
+            bt_, gt = dyn_flatten_roll(seqs["tactile"][sl],
+                                       seqs["final_tactile"][sl])
+            bp = seqs["pose"][sl].reshape(-1, 7)
+            # reference rolls pose targets WITHOUT the resting patch
+            # (problems.py:798)
+            gp = np.roll(bp, -1, axis=0)
+            return (bv, bt_, bp), (gv, gt, gp)
+        # regression: visual frame 0 -> final pose
+        return ((seqs["visual"][sl, 0],), (seqs["final_pose"][sl],))
+
+    n = seqs["visual"].shape[0]
+    nb = n // args.batch
     history = []
-    for epoch in range(epochs):
-        klw = anneal_kl(epoch, anneal)
+    for epoch in range(args.epochs):
+        klw = anneal_kl(epoch, args.anneal)
         losses = []
         for b in range(nb):
-            sl = slice(b * batch, (b + 1) * batch)
+            sl = slice(b * args.batch, (b + 1) * args.batch)
+            ins, tgts = batch_views(sl)
             opt.zero_grad()
-            loss = evaluate_with_noise(model, tv[sl], tt[sl], tp[sl],
-                                       gv_all[sl], gt_all[sl], gp_all[sl], klw)
+            if is_reg:
+                out = model(to_img(ins[0]))
+                loss = torch.nn.functional.mse_loss(
+                    out, torch.tensor(tgts[0]), reduction="sum")
+            else:
+                loss = mvae_eval(model, to_img(ins[0]), to_img(ins[1]),
+                                 torch.tensor(ins[2]), to_img(tgts[0]),
+                                 to_img(tgts[1]), torch.tensor(tgts[2]), klw)
             loss.backward()
             opt.step()
             losses.append(float(loss.detach()))
         history.append(float(np.mean(losses)))
-        print(f"# torch epoch {epoch}: {history[-1]:.1f}", file=sys.stderr)
+        print(f"# torch epoch {epoch}: {history[-1]:.2f}", file=sys.stderr)
     return history
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--problem", default="seq_modeling",
+                    choices=["seq_modeling", "dyn_modeling", "regression"])
     ap.add_argument("--epochs", type=int, default=5)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=16,
+                    help="sequences per step (dyn flattens to batch*T rows)")
     ap.add_argument("--n-seq", type=int, default=32)
+    ap.add_argument("--seq-len", type=int, default=4,
+                    help="frames per synthetic sequence (ignored with "
+                    "--dataset)")
     ap.add_argument("--latent", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--anneal", type=int, default=3)
@@ -214,6 +307,12 @@ def main():
                     choices=["float32", "bfloat16", "bfloat16_full"],
                     help="jax-side activation policy (torch side is always "
                     "f32; use to bound the accelerated policies' drift)")
+    ap.add_argument("--noise-free", action="store_true",
+                    help="z = posterior mean on both sides")
+    ap.add_argument("--no-dropout", action="store_true",
+                    help="disable Dropout(0.1) on both sides")
+    ap.add_argument("--shared-init", action="store_true",
+                    help="transplant the jax init weights into torch")
     args = ap.parse_args()
 
     if args.platform:
@@ -223,27 +322,29 @@ def main():
         jax.config.update("jax_platform_name", args.platform)
 
     if args.dataset:
-        inputs, targets = make_data_from_compiled(args.dataset, args.n_seq)
-        print(f"# real dataset: {inputs[0].shape[0]} sequences from "
-              f"{args.dataset}", file=sys.stderr)
+        seqs = load_compiled_sequences(args.dataset, args.n_seq)
+        print(f"# real dataset: {seqs['visual'].shape[0]} sequences x "
+              f"{seqs['visual'].shape[1]} frames from {args.dataset}",
+              file=sys.stderr)
     else:
-        inputs, targets = make_data(args.n_seq, args.batch)
+        seqs = make_synthetic_sequences(args.n_seq, args.seq_len)
+
+    init_out = [] if args.shared_init else None
     t0 = time.time()
-    jx = run_jax(inputs, targets, args.epochs, args.batch, args.latent,
-                 args.lr, args.anneal, dtype=args.dtype)
-    print(f"# jax done in {time.time()-t0:.1f}s: {[round(x,1) for x in jx]}",
-          file=sys.stderr)
+    jx = run_jax(seqs, args, init_params_out=init_out)
+    print(f"# jax done in {time.time()-t0:.1f}s", file=sys.stderr)
     th = None
     if not args.skip_torch:
         t0 = time.time()
-        th = run_torch(inputs, targets, args.epochs, args.batch, args.latent,
-                       args.lr, args.anneal)
+        th = run_torch(seqs, args,
+                       init_params=init_out[0] if init_out else None)
         print(f"# torch done in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    result = {"jax_elbo": [round(x, 2) for x in jx]}
+    result = {"problem": args.problem,
+              "jax_elbo": [round(x, 2) for x in jx]}
     if th is not None:
         gap = abs(jx[-1] - th[-1]) / abs(th[-1]) * 100
-        result = {"final_gap_pct": round(gap, 3),
+        result = {"problem": args.problem, "final_gap_pct": round(gap, 3),
                   "jax_elbo": [round(x, 2) for x in jx],
                   "torch_elbo": [round(x, 2) for x in th]}
     line = json.dumps(result)
