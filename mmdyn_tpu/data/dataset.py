@@ -75,12 +75,19 @@ def dataset_setup(dataset_path, problem_type, batchsize=128, shuffle=True,
     # the seg masks only feed the --mask-loss reconstruction term
     # (problems.py:438-448); skip the host->HBM transfer entirely otherwise
     skip = () if mask_loss else ("seg",)
+    # multi-process JAX (jax.distributed.initialize before Problem setup):
+    # every host sees the same seeded global batch order and materialises
+    # only its own row block; to_device_batch assembles the global arrays
+    import jax
+
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    proc = dict(process_index=pidx, process_count=pcnt) if pcnt > 1 else {}
     train_loader = BatchLoader(train_dataset.arrays, batchsize,
                                shuffle=shuffle, drop_last=True, seed=seed,
-                               frames=frames, skip=skip)
+                               frames=frames, skip=skip, **proc)
     test_loader = BatchLoader(test_dataset.arrays, batchsize,
                               shuffle=False, drop_last=True, seed=seed,
-                              frames=frames, skip=skip)
+                              frames=frames, skip=skip, **proc)
     return {
         "train_dataset": train_dataset,
         "test_dataset": test_dataset,

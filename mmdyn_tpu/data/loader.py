@@ -40,7 +40,9 @@ class BatchLoader:
 
     def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
                  shuffle: bool = True, drop_last: bool = True, seed: int = 0,
-                 frames: Optional[int] = None, skip: tuple = ()):
+                 frames: Optional[int] = None, skip: tuple = (),
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.arrays = {k: v for k, v in arrays.items() if k not in skip}
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,8 +51,20 @@ class BatchLoader:
         self._rng = np.random.default_rng(seed)
         n = next(iter(arrays.values())).shape[0]
         self.n_sequences = n
+        # multi-process: every host runs the same seeded shuffle, so the
+        # GLOBAL batch order is identical everywhere; host p materialises
+        # only its contiguous row block of each global batch (the block
+        # layout matches NamedSharding(P(('data',))) device order, asserted
+        # by tests/test_train.py::TestMultiHostLoader)
+        self.process_index = 0 if process_index is None else int(process_index)
+        self.process_count = 1 if process_count is None else int(process_count)
+        if self.process_count > 1 and batch_size % self.process_count:
+            raise ValueError(
+                f"global batch size {batch_size} must divide evenly across "
+                f"{self.process_count} processes")
 
     def __len__(self):
+        # number of GLOBAL batches (identical on every process)
         if self.drop_last:
             return self.n_sequences // self.batch_size
         return -(-self.n_sequences // self.batch_size)
@@ -60,8 +74,13 @@ class BatchLoader:
         if self.shuffle:
             self._rng.shuffle(order)
         nb = len(self)
+        local = self.batch_size // self.process_count
+        lo = self.process_index * local
+        hi = lo + local
         for b in range(nb):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if self.process_count > 1:
+                idx = idx[lo:hi]
             out = {}
             for k, v in self.arrays.items():
                 if self.frames is not None and k in SEQUENCE_KEYS:
@@ -75,11 +94,28 @@ class BatchLoader:
 
 def to_device_batch(batch: Dict[str, np.ndarray], sharding=None):
     """uint8 images -> float32/255 (the ToTensor scaling, datasets.py:25),
-    placed on device (optionally with a jax.sharding.Sharding)."""
+    placed on device (optionally with a jax.sharding.Sharding).
+
+    Under multi-process JAX (``jax.distributed.initialize`` before building
+    the mesh; each host's BatchLoader constructed with
+    ``process_index/process_count``), ``batch`` holds only this host's rows
+    of the global batch: the global jax.Array is assembled with
+    ``jax.make_array_from_process_local_data``, which places each local row
+    block on this host's addressable devices — no cross-host data motion.
+    """
     out = {}
+    multiprocess = sharding is not None and jax.process_count() > 1
     for k, v in batch.items():
-        arr = jnp.asarray(v, device=sharding) if sharding is not None else jnp.asarray(v)
-        if k in IMAGE_KEYS and v.dtype == np.uint8:
+        if multiprocess:
+            v = np.asarray(v)
+            global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+            arr = jax.make_array_from_process_local_data(sharding, v,
+                                                         global_shape)
+        elif sharding is not None:
+            arr = jnp.asarray(v, device=sharding)
+        else:
+            arr = jnp.asarray(v)
+        if k in IMAGE_KEYS and np.asarray(v).dtype == np.uint8:
             arr = arr.astype(jnp.float32) / 255.0
         out[k] = arr
     return out

@@ -10,9 +10,15 @@ over a 1-D ``('data',)`` mesh:
   automatically from the sharding layout (no hand-written collectives needed
   at this model scale; see jax-ml.github.io/scaling-book).
 
-The mesh abstraction is 1-D here but nothing below assumes a single host:
-growing to multi-host DP (or adding a model axis for bigger future models) is
-a matter of reshaping the device array.
+The mesh abstraction is 1-D here but nothing below assumes a single host.
+Multi-host DP entry: call ``jax.distributed.initialize()`` on every host
+before building the mesh (``jax.devices()`` then spans all hosts), and the
+data layer does the rest — each host's ``BatchLoader`` materialises its own
+row block of the global batch (``process_index/process_count``, wired
+automatically by ``dataset_setup``) and ``to_device_batch`` assembles the
+global jax.Array via ``jax.make_array_from_process_local_data`` with no
+cross-host data motion. Per-shard content correctness of that convention is
+asserted by tests/test_train.py::TestMultiHostLoader.
 """
 
 from __future__ import annotations

@@ -422,3 +422,57 @@ def test_dyn_modeling_mvae_loop(tmp_path):
                       tensorboard=False)
     results = problem.train()
     assert np.isfinite(results["Loss/train_epoch"][0])
+
+
+class TestMultiHostLoader:
+    """Multi-process input correctness (single-process simulation): the
+    per-host row-block convention of BatchLoader must match the device order
+    NamedSharding assigns, so jax.make_array_from_process_local_data on each
+    host yields the same global array a single host would build."""
+
+    def _arrays(self, n=16):
+        rng = np.random.default_rng(0)
+        return {"visual": rng.integers(0, 255, (n, 2, 4, 4, 3),
+                                       dtype=np.uint8),
+                "final_pose": rng.uniform(size=(n, 7)).astype(np.float32)}
+
+    def test_process_loaders_partition_the_global_batch(self):
+        from mmdyn_tpu.data.loader import BatchLoader
+
+        arrays = self._arrays()
+        whole = list(BatchLoader(arrays, 8, shuffle=True, seed=3))
+        parts = [list(BatchLoader(arrays, 8, shuffle=True, seed=3,
+                                  process_index=p, process_count=4))
+                 for p in range(4)]
+        assert len(whole) == len(parts[0]) == 2   # len() counts GLOBAL batches
+        for b in range(len(whole)):
+            for k in arrays:
+                glued = np.concatenate([parts[p][b][k] for p in range(4)])
+                np.testing.assert_array_equal(glued, whole[b][k])
+
+    def test_shard_contents_match_row_block_convention(self):
+        """Each device's shard of a batch-sharded global array must hold the
+        contiguous row block the loader convention assigns it, in mesh device
+        order — the invariant make_array_from_process_local_data relies on."""
+        from mmdyn_tpu.data.loader import to_device_batch
+        from mmdyn_tpu.parallel.mesh import batch_sharding, make_mesh
+
+        mesh = make_mesh(8)
+        sharding = batch_sharding(mesh)
+        batch = self._arrays(n=8)
+        dev = to_device_batch(batch, sharding=sharding)
+        want_visual = batch["visual"].astype(np.float32) / 255.0
+        for key, want in (("visual", want_visual),
+                          ("final_pose", batch["final_pose"])):
+            arr = dev[key]
+            by_device = {s.device: s for s in arr.addressable_shards}
+            for d, device in enumerate(mesh.devices.ravel()):
+                shard = by_device[device]
+                np.testing.assert_allclose(np.asarray(shard.data),
+                                           want[d:d + 1], rtol=1e-6)
+
+    def test_process_batch_must_divide(self):
+        from mmdyn_tpu.data.loader import BatchLoader
+
+        with pytest.raises(ValueError, match="divide evenly"):
+            BatchLoader(self._arrays(), 6, process_index=0, process_count=4)
