@@ -117,3 +117,32 @@ class TestBulletDiff:
         assert seq["frames"] == 3
         # both engines must at least agree the object is in view
         assert seq["seg_coverage_a"] > 0 and seq["seg_coverage_b"] > 0
+
+
+class TestRerenderDataset:
+    def test_rerender_matches_generated_tactile(self, tmp_path):
+        """Re-rendering from the dumped (uint8-quantised) depth PNGs must
+        reproduce the generation-time tactile stream closely — same pipeline,
+        only the depth quantisation differs."""
+        import cv2
+
+        from mmdyn_tpu.cli import demo
+
+        demo.main(["--headless", "--engine", "analytic", "--object", "bowl",
+                   "--n_timesteps", "60", "--interval", "20", "--seed", "3",
+                   "--logdir", str(tmp_path)])
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "rerender_dataset.py"),
+             "--dataset", str(tmp_path), "--suffix", "_re",
+             "--thickness", "0.01",    # demo sensor thickness (demo.py)
+             "--platform", "cpu"],
+            capture_output=True, text=True, cwd=REPO)
+        assert proc.returncode == 0, proc.stderr
+        stats = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert stats["frames"] == 3
+        for i in range(3):
+            a = cv2.imread(str(tmp_path / "dataset" / f"tactile_{i:04d}.png"))
+            b = cv2.imread(str(tmp_path / "dataset" / f"tactile_re_{i:04d}.png"))
+            diff = np.abs(a.astype(int) - b.astype(int))
+            # uint8 depth quantisation moves a few counts; gross agreement
+            assert np.mean(diff) < 6.0, np.mean(diff)

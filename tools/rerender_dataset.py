@@ -42,7 +42,15 @@ def main():
     ap.add_argument("--thickness", type=float, default=0.005)
     ap.add_argument("--i-diffuse", type=float, default=2.0)
     ap.add_argument("--i-specular", type=float, default=2.0)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu)")
     args = ap.parse_args()
+
+    if args.platform:
+        import os
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platform_name", args.platform)
 
     import cv2
 
