@@ -39,6 +39,9 @@ parser.add_argument("--engine", type=str, default="auto",
                     choices=["auto", "pybullet", "analytic"])
 parser.add_argument("--n_objects", type=int, default=8)
 parser.add_argument("--seed", type=int, default=None)
+parser.add_argument("--workers", type=int, default=1,
+                    help="Parallel trial processes (trials are independent; "
+                    "each uses its own engine instance)")
 
 
 def run_trial(args, info, k, engine):
@@ -120,6 +123,16 @@ def run_trial(args, info, k, engine):
     return True
 
 
+def _run_trial_star(job):
+    args, info, k, engine, seed = job
+    if seed is not None:
+        random.seed(seed)
+        np.random.seed(seed)
+    print(f"trial: {info['obj_name']} #{k} ({info['category']}), "
+          f"slope={args.slope}")
+    return run_trial(args, info, k, engine)
+
+
 def main(argv=None):
     from mmdyn_tpu.cli.exp_1_flat_plane import iter_objects
 
@@ -136,13 +149,22 @@ def main(argv=None):
         except ImportError:
             engine = "analytic"
 
-    total = 0
+    jobs, total = [], 0
     for info in iter_objects(args, engine):
         total += 1
         for k in range(args.trial_per_obj):
-            print(f"OBJ #{total} - {k + 1}: {info['obj_name']} "
-                  f"({info['category']}), slope={args.slope}")
-            run_trial(args, info, k, engine)
+            seed = None if args.seed is None else args.seed + 7919 * total + k
+            jobs.append((args, info, k, engine, seed))
+
+    if args.workers > 1 and engine == "analytic":
+        # trials are fully independent; PyBullet connections are per-process
+        # global so parallelism is restricted to the analytic engine
+        import multiprocessing as mp
+        with mp.get_context("spawn").Pool(args.workers) as pool:
+            pool.map(_run_trial_star, jobs)
+    else:
+        for job in jobs:
+            _run_trial_star(job)
     print(f"done: {total} objects x {args.trial_per_obj} trials")
 
 

@@ -40,6 +40,9 @@ parser.add_argument("--engine", type=str, default="auto",
                     choices=["auto", "pybullet", "analytic"])
 parser.add_argument("--n_objects", type=int, default=8)
 parser.add_argument("--seed", type=int, default=None)
+parser.add_argument("--workers", type=int, default=1,
+                    help="Parallel trial processes (trials are independent; "
+                    "each uses its own engine instance)")
 parser.add_argument("--snapshot_from", type=int, default=100,
                     help="First timestep eligible for snapshots (exp_3:128).")
 
@@ -119,6 +122,16 @@ def run_trial(args, info, k, engine, force_amp):
     return True
 
 
+def _run_trial_star(job):
+    args, info, k, engine, force_amp, seed = job
+    if seed is not None:
+        random.seed(seed)
+        np.random.seed(seed)
+    print(f"trial: {info['obj_name']} #{k} ({info['category']}), "
+          f"force_amp={force_amp}")
+    return run_trial(args, info, k, engine, force_amp)
+
+
 def main(argv=None):
     from mmdyn_tpu.cli.exp_1_flat_plane import iter_objects
 
@@ -136,13 +149,22 @@ def main(argv=None):
         except ImportError:
             engine = "analytic"
 
-    total = 0
+    jobs, total = [], 0
     for info in iter_objects(args, engine):
         total += 1
         for k in range(args.trial_per_obj):
-            print(f"OBJ #{total} - {k + 1}: {info['obj_name']} "
-                  f"({info['category']}), force_amp={force_amp}")
-            run_trial(args, info, k, engine, force_amp)
+            seed = None if args.seed is None else args.seed + 7919 * total + k
+            jobs.append((args, info, k, engine, force_amp, seed))
+
+    if args.workers > 1 and engine == "analytic":
+        # trials are fully independent; PyBullet connections are per-process
+        # global so parallelism is restricted to the analytic engine
+        import multiprocessing as mp
+        with mp.get_context("spawn").Pool(args.workers) as pool:
+            pool.map(_run_trial_star, jobs)
+    else:
+        for job in jobs:
+            _run_trial_star(job)
     print(f"done: {total} objects x {args.trial_per_obj} trials")
 
 
