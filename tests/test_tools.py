@@ -140,9 +140,12 @@ class TestRerenderDataset:
         assert proc.returncode == 0, proc.stderr
         stats = json.loads(proc.stdout.strip().splitlines()[-1])
         assert stats["frames"] == 3
+        # the suffix is normalised to '-re' so outputs never match the
+        # dataset compiler's tactile_*.png glob
+        assert not list((tmp_path / "dataset").glob("tactile_re_*.png"))
         for i in range(3):
             a = cv2.imread(str(tmp_path / "dataset" / f"tactile_{i:04d}.png"))
-            b = cv2.imread(str(tmp_path / "dataset" / f"tactile_re_{i:04d}.png"))
+            b = cv2.imread(str(tmp_path / "dataset" / f"tactile-re_{i:04d}.png"))
             diff = np.abs(a.astype(int) - b.astype(int))
             # uint8 depth quantisation moves a few counts; gross agreement
             assert np.mean(diff) < 6.0, np.mean(diff)

@@ -35,7 +35,10 @@ def main():
                     help="dump root (containing dataset/**/depth_*.png)")
     ap.add_argument("--suffix", default="",
                     help="output name suffix: tactile{suffix}_NNNN.png "
-                         "(empty = overwrite the tactile stream)")
+                         "(empty = overwrite the tactile stream). A non-empty "
+                         "suffix is forced to start with '-' so the output "
+                         "never matches the dataset compiler's tactile_*.png "
+                         "glob (a '_re' suffix would corrupt frame counts)")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--size", type=float, nargs=3, default=[1.5, 1.5, 1.0])
     ap.add_argument("--position", type=float, nargs=3, default=[0, 0, 0.5])
@@ -66,6 +69,8 @@ def main():
     sensor._set_lights(i_specular=args.i_specular, i_diffuse=args.i_diffuse)
     renderer = TactileRendererJax.from_sensor(sensor)
 
+    if args.suffix and not args.suffix.startswith("-"):
+        args.suffix = "-" + args.suffix.lstrip("_")
     root = Path(args.dataset).expanduser() / "dataset"
     depths = sorted(root.glob("**/depth_*.png"))
     if not depths:
