@@ -85,3 +85,44 @@ def test_demo_device_render_dump_parity(tmp_path):
         a = cv2.imread(str(host_dir / "dataset" / name))
         b = cv2.imread(str(dev_dir / "dataset" / name))
         np.testing.assert_array_equal(a, b)
+
+
+def test_deferred_flush_routes_static_vs_moving(tmp_path, monkeypatch):
+    """A static sensor's frames take the cheaper baked-matrix path; a sensor
+    that moved mid-rollout must take the per-frame-matrix path (exp_3)."""
+    from mmdyn_tpu.cli._simrun import DeferredTactile
+
+    calls = {"static": 0, "dynamic": 0}
+    orig_call = TactileRendererJax.__call__
+    orig_frames = TactileRendererJax.render_frames
+
+    def spy_call(self, depths):
+        calls["static"] += 1
+        return orig_call(self, depths)
+
+    def spy_frames(self, *a):
+        calls["dynamic"] += 1
+        return orig_frames(self, *a)
+
+    monkeypatch.setattr(TactileRendererJax, "__call__", spy_call)
+    monkeypatch.setattr(TactileRendererJax, "render_frames", spy_frames)
+
+    backend, sensor = _scene()
+    _, _, depth, _, _ = sensor.get_sensor_image()
+
+    d = DeferredTactile()
+    d.add(sensor, depth, tmp_path, 0)
+    d.add(sensor, depth, tmp_path, 1)
+    d.flush()
+    assert calls == {"static": 1, "dynamic": 0}
+    assert (tmp_path / "tactile_0000.png").exists()
+
+    # displace the sensor (the exp_3 shock) between snapshots
+    d2 = DeferredTactile()
+    d2.add(sensor, depth, tmp_path, 2)
+    backend.set_pose(sensor.sensor_id, [0.3, 0.1, 0.5], [0, 0, 0, 1])
+    _, _, depth2, _, _ = sensor.get_sensor_image()   # updates the camera
+    d2.add(sensor, depth2, tmp_path, 3)
+    d2.flush()
+    assert calls["dynamic"] == 1
+    assert (tmp_path / "tactile_0003.png").exists()
