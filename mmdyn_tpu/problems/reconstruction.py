@@ -65,6 +65,37 @@ def _img_recon_sum(recons, target, loss_mask):
     return fused_masked_bce_sum(recons, target, loss_mask)
 
 
+def _stacked_img_decode(model, variables, z_v, z_t, condition):
+    """Decode the visual AND tactile subset batches through one launch.
+
+    The two image decoders share an architecture; stacking their param trees
+    on a leading axis and vmapping a bare ``Decoder`` over that axis turns
+    the 2x(K deconvs) into grouped convolutions (feature_group_count=2 after
+    XLA's conv batching rule), halving the kernel count per step. BatchNorm
+    statistics stay per-(decoder, subset) because both vmap levels map rather
+    than flatten. Enabled by ``MMDYN_STACKED_DECODE=1`` — A/B-measured on
+    v5e, see docs/PARITY.md "dyn_modeling optimisation campaign".
+    """
+    from mmdyn_tpu.models.vae import Decoder
+
+    dec = Decoder(latent_size=model.latent_size, architecture="cnn",
+                  conditional=model.conditional,
+                  categorical_conditions=model.categorical_conditions,
+                  condition_dim=model.condition_dim,
+                  compute_dtype=model.compute_dtype)
+    p2 = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]),
+        variables["params"]["visual_decoder"],
+        variables["params"]["tactile_decoder"])
+    z2 = jnp.stack([z_v, z_t])  # (2, K, B, D)
+
+    def per_decoder(p, zk):
+        return jax.vmap(lambda z1: dec.apply({"params": p}, z1, condition))(zk)
+
+    out = jax.vmap(per_decoder)(p2, z2)  # (2, K, B, H, W, C)
+    return out[0], out[1]
+
+
 def _subset_decode(decode_fn, z_sel):
     """vmapped decode over the subset axis; MMDYN_DECODE_CHUNK=n splits it
     into sequential groups of n subsets (optimization_barrier-chained) to
@@ -142,10 +173,18 @@ def mvae_evaluate(model, variables, rng, inputs, targets, kl_weight, cfg):
     vis_idx = jnp.array(VIS_LOSS_POSE if use_pose else VIS_LOSS_NO_POSE)
     tac_idx = jnp.array(TAC_LOSS_POSE if use_pose else TAC_LOSS_NO_POSE)
 
-    recon_v = _subset_decode(lambda zz: apply(mcls.decode_visual, zz, condition),
-                             z[vis_idx])
-    recon_t = _subset_decode(lambda zz: apply(mcls.decode_tactile, zz, condition),
-                             z[tac_idx])
+    import os
+
+    if (os.environ.get("MMDYN_STACKED_DECODE", "0") == "1"
+            and model.architecture == "cnn"):
+        recon_v, recon_t = _stacked_img_decode(model, variables,
+                                               z[vis_idx], z[tac_idx],
+                                               condition)
+    else:
+        recon_v = _subset_decode(
+            lambda zz: apply(mcls.decode_visual, zz, condition), z[vis_idx])
+        recon_t = _subset_decode(
+            lambda zz: apply(mcls.decode_tactile, zz, condition), z[tac_idx])
 
     batch_size = visual.shape[0]
     recon_error = (_img_recon_sum(recon_v, t_v, loss_mask)

@@ -75,6 +75,55 @@ def test_mvae_subset_elbo_matches_torch_reference(monkeypatch, use_pose):
         assert np.isfinite(float(v))
 
 
+@pytest.mark.parametrize("use_pose", [False, True])
+def test_stacked_decode_matches_per_modality(monkeypatch, use_pose):
+    """MMDYN_STACKED_DECODE=1 (one grouped launch over both image decoders)
+    is numerically the per-modality vmapped path, forward and gradient."""
+    latent, B = 16, 4
+    rng = np.random.default_rng(2)
+    xv = rng.uniform(size=(B, 64, 64, 3)).astype(np.float32)
+    xt = rng.uniform(size=(B, 64, 64, 3)).astype(np.float32)
+    xp = rng.normal(size=(B, 7)).astype(np.float32)
+
+    model = MVAE(latent_size=latent, use_pose=use_pose, dropout_rate=0.0)
+    args = ([jnp.array(xv), jnp.array(xt)],)
+    kwargs = {"pose": jnp.array(xp)} if use_pose else {}
+    variables = model.init(_rngs(5), *args, **kwargs)
+
+    cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
+                        input_type="visuotactile", use_pose=use_pose,
+                        latent_size=latent)
+    inputs = {"visual": jnp.array(xv), "tactile": jnp.array(xt)}
+    targets = {"visual": jnp.array(xv), "tactile": jnp.array(xt)}
+    if use_pose:
+        inputs["pose"] = jnp.array(xp)
+        targets["pose"] = jnp.array(xp)
+    key = jax.random.PRNGKey(7)
+
+    def loss_fn(params):
+        loss, aux = recon_mod.mvae_evaluate(
+            model, {"params": params}, key, inputs, targets,
+            kl_weight=1.0, cfg=cfg)
+        return loss, aux
+
+    monkeypatch.setenv("MMDYN_STACKED_DECODE", "0")
+    (l0, aux0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    monkeypatch.setenv("MMDYN_STACKED_DECODE", "1")
+    (l1, aux1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    for k in aux0["recon_x"]:
+        np.testing.assert_allclose(np.asarray(aux0["recon_x"][k]),
+                                   np.asarray(aux1["recon_x"][k]),
+                                   atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
 class TestTransforms:
     def test_stride_first_equals_flat_stride(self):
         """[:, 0] == flat[::T] (problems.py:648)."""

@@ -50,6 +50,24 @@ class TestPlotRun:
         assert summary["train_last"] == 96.0
 
 
+class TestMultiHostSmoke:
+    """End-to-end multi-process input path: 2 real OS processes under
+    jax.distributed (localhost coordinator, gloo CPU collectives) must
+    reproduce the single-process golden loss trajectory through the
+    production BatchLoader/to_device_batch sharding plumbing."""
+
+    def test_two_process_trajectory_matches_golden(self):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "multihost_smoke.py"),
+             "--spawn", "2"],
+            capture_output=True, text=True, cwd=REPO, timeout=420)
+        assert proc.returncode == 0, proc.stderr + proc.stdout
+        report = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert report["ok"] is True
+        assert report["process_0_max_rel_gap"] < 1e-5
+        assert report["process_1_max_rel_gap"] < 1e-5
+
+
 class TestBulletDiff:
     """The cross-engine diff harness must itself be known-good: identical
     runs diff to zero, perturbed runs are detected, and the report survives

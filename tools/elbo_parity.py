@@ -313,6 +313,15 @@ def main():
                     help="disable Dropout(0.1) on both sides")
     ap.add_argument("--shared-init", action="store_true",
                     help="transplant the jax init weights into torch")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init + noise seed for both sides")
+    ap.add_argument("--seeds", default=None,
+                    help="comma list: run the JAX side once per seed "
+                    "(independent init + noise draws) and emit per-seed "
+                    "trajectories — bounds the init-luck spread behind the "
+                    "docs/PARITY.md root-cause finding; combine with "
+                    "--skip-torch or let the single torch run (at --seed) "
+                    "serve as the comparison point")
     args = ap.parse_args()
 
     if args.platform:
@@ -329,14 +338,40 @@ def main():
     else:
         seqs = make_synthetic_sequences(args.n_seq, args.seq_len)
 
+    if args.seeds is not None:
+        # multi-seed spread: JAX side per seed, optional single torch anchor
+        seed_list = [int(s) for s in args.seeds.split(",")]
+        per_seed = {}
+        for s in seed_list:
+            t0 = time.time()
+            per_seed[s] = run_jax(seqs, args, seed=s)
+            print(f"# jax seed {s} done in {time.time()-t0:.1f}s "
+                  f"(final {per_seed[s][-1]:.2f})", file=sys.stderr)
+        result = {"problem": args.problem,
+                  "jax_elbo_by_seed": {str(s): [round(x, 2) for x in h]
+                                       for s, h in per_seed.items()}}
+        finals = [h[-1] for h in per_seed.values()]
+        result["jax_final_min"] = round(min(finals), 2)
+        result["jax_final_max"] = round(max(finals), 2)
+        if not args.skip_torch:
+            t0 = time.time()
+            th = run_torch(seqs, args, seed=args.seed)
+            print(f"# torch done in {time.time()-t0:.1f}s", file=sys.stderr)
+            result["torch_elbo"] = [round(x, 2) for x in th]
+        line = json.dumps(result)
+        print(line)
+        if args.out:
+            Path(args.out).write_text(line + "\n")
+        return
+
     init_out = [] if args.shared_init else None
     t0 = time.time()
-    jx = run_jax(seqs, args, init_params_out=init_out)
+    jx = run_jax(seqs, args, seed=args.seed, init_params_out=init_out)
     print(f"# jax done in {time.time()-t0:.1f}s", file=sys.stderr)
     th = None
     if not args.skip_torch:
         t0 = time.time()
-        th = run_torch(seqs, args,
+        th = run_torch(seqs, args, seed=args.seed,
                        init_params=init_out[0] if init_out else None)
         print(f"# torch done in {time.time()-t0:.1f}s", file=sys.stderr)
 
