@@ -317,7 +317,10 @@ class AnalyticBackend(PhysicsBackend):
 
         # depth: eye-space distance along forward -> buffer
         hit_any = np.isfinite(t_best)
-        z_e = np.full(n, camera.far)
+        # float dtype explicitly: an integer far (e.g. far=8) would otherwise
+        # make np.full produce an int array and silently truncate every
+        # assigned eye-space depth
+        z_e = np.full(n, float(camera.far), dtype=np.float64)
         pts = eye[:, None] + dirs * np.where(hit_any, t_best, 0.0)
         z_e[hit_any] = ((pts - eye[:, None]).T @ forward)[hit_any]
         z_e = np.clip(z_e, camera.near, camera.far)
