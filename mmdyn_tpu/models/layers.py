@@ -177,10 +177,13 @@ class ConvTranspose2d(nn.Module):
             (k, k, in_ch, self.features), jnp.float32
         )
         xc, kc = _cast_compute(x, kernel, self.compute_dtype)
+        mode = os.environ.get("MMDYN_DECONV", "dilated")
         subpixel = (k == 4 and self.stride == 2 and self.padding == 1
-                    and os.environ.get("MMDYN_DECONV", "dilated") == "subpixel")
+                    and mode == "subpixel")
         if subpixel:
             y = _deconv_k4s2p1_subpixel(xc, kc, self.features)
+        elif mode == "stridedgrad":
+            y = _deconv_stridedgrad(xc, kc, self.stride, self.padding)
         else:
             y = jax.lax.conv_general_dilated(
                 xc,
@@ -195,6 +198,72 @@ class ConvTranspose2d(nn.Module):
             bias = self.param("bias", torch_bias_init(self.features * k * k), (self.features,))
             y = y + bias.astype(y.dtype)
         return y
+
+
+from functools import partial as _partial
+
+
+def _deconv_impl(x, kernel, stride, padding):
+    """The dilated-lhs forward shared by the default and stridedgrad paths."""
+    k = kernel.shape[0]
+    pad = k - 1 - padding
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=[(pad, pad)] * 2,
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _deconv_stridedgrad(x, kernel, stride, padding):
+    """ConvTranspose2d forward with a hand-derived backward.
+
+    XLA's automatic transpose of the ``lhs_dilation`` conv emits spatial
+    ``reverse`` ops + relayout copies on the ACTIVATION tensors (the 2.28
+    GB/step residual in the dyn_modeling HLO byte census, docs/PARITY.md).
+    Both gradients have reverse-free formulations:
+
+    * grad_x: y[m] = sum_u K[u] xd[m+u-(k-1-p)] with xd the s-dilated input
+      gives grad_x[j] = sum_{u'} K[k-1-u'] ct[s*j - p + u'] — a plain
+      stride-s correlation of the cotangent with the spatially-FLIPPED,
+      io-transposed kernel, symmetric padding p. The flip lands on the
+      (k, k, I, O) kernel — bytes-free — never on the activations.
+    * grad_K[u] = sum_{b,j} x[b,j] ct[b, s*j + (k-1-p) - u] — a conv with
+      batch as the contracted feature: lhs = x^T (I,H,W,B) with
+      lhs_dilation=s, rhs = ct^T (M,M,B,O), symmetric padding k-1-p.
+
+    Gated behind ``MMDYN_DECONV=stridedgrad``; A/B-measured on v5e and
+    REJECTED as the default (~6% slower on both flagship configs — XLA's
+    fused transpose pipeline beats this algebraically-cleaner formulation);
+    kept as measured evidence. See docs/PARITY.md "dyn_modeling optimisation
+    campaign".
+    """
+    return _deconv_impl(x, kernel, stride, padding)
+
+
+def _deconv_sg_fwd(x, kernel, stride, padding):
+    return _deconv_impl(x, kernel, stride, padding), (x, kernel)
+
+
+def _deconv_sg_bwd(stride, padding, res, ct):
+    x, kernel = res
+    k = kernel.shape[0]
+    kg = jnp.transpose(jnp.flip(kernel, (0, 1)), (0, 1, 3, 2))
+    gx = jax.lax.conv_general_dilated(
+        ct, kg, window_strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    c = k - 1 - padding
+    xl = jnp.transpose(x, (3, 1, 2, 0))      # (I, H, W, B)
+    yr = jnp.transpose(ct, (1, 2, 0, 3))     # (M, M, B, O)
+    gk = jax.lax.conv_general_dilated(
+        xl, yr, window_strides=(1, 1), padding=[(c, c)] * 2,
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    gk = jnp.transpose(gk, (1, 2, 0, 3))     # (I, k, k, O) -> (k, k, I, O)
+    return gx, gk.astype(kernel.dtype)
+
+
+_deconv_stridedgrad.defvjp(_deconv_sg_fwd, _deconv_sg_bwd)
 
 
 def _deconv_k4s2p1_subpixel(x, kernel, c_out):

@@ -91,6 +91,54 @@ class TestLayers:
         np.testing.assert_allclose(np.asarray(got_sp), np.asarray(got_dil),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("stride,padding", [(1, 0), (2, 1), (3, 2)])
+    def test_stridedgrad_deconv_matches_autodiff(self, monkeypatch, stride,
+                                                 padding):
+        """MMDYN_DECONV=stridedgrad (hand-derived reverse-free backward) must
+        agree with XLA autodiff of the dilated lowering — forward bit-exact,
+        gradients to accumulation order — including under vmap (the
+        subset-decode usage)."""
+        from mmdyn_tpu.models.layers import _deconv_impl, _deconv_stridedgrad
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(2, 7, 7, 3)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(4, 4, 3, 5)).astype(np.float32))
+
+        a = _deconv_impl(x, k, stride, padding)
+        b = _deconv_stridedgrad(x, k, stride, padding)
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        ga = jax.grad(lambda x, k: jnp.sum(jnp.sin(
+            _deconv_impl(x, k, stride, padding))), argnums=(0, 1))(x, k)
+        gb = jax.grad(lambda x, k: jnp.sum(jnp.sin(
+            _deconv_stridedgrad(x, k, stride, padding))), argnums=(0, 1))(x, k)
+        for u, v in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-4, atol=1e-5)
+
+        # vmapped over a leading (subset) axis, as problems/reconstruction
+        # uses it
+        xs = jnp.stack([x, x + 1.0])
+        gva = jax.grad(lambda xs, k: jnp.sum(jax.vmap(
+            lambda xx: _deconv_impl(xx, k, stride, padding))(xs) ** 2),
+            argnums=(0, 1))(xs, k)
+        gvb = jax.grad(lambda xs, k: jnp.sum(jax.vmap(
+            lambda xx: _deconv_stridedgrad(xx, k, stride, padding))(xs) ** 2),
+            argnums=(0, 1))(xs, k)
+        for u, v in zip(gva, gvb):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-3, atol=1e-2)
+
+        # the env switch routes the layer through the custom-vjp path
+        monkeypatch.setenv("MMDYN_DECONV", "stridedgrad")
+        layer = ConvTranspose2d(5, 4, stride, padding, use_bias=False)
+        params = layer.init(jax.random.PRNGKey(0), x)
+        got_sg = layer.apply(params, x)
+        monkeypatch.setenv("MMDYN_DECONV", "dilated")
+        got_dil = layer.apply(params, x)
+        np.testing.assert_array_equal(np.asarray(got_sg), np.asarray(got_dil))
+
     def test_train_batchnorm_matches_torch_train_mode(self):
         rng = np.random.default_rng(2)
         x = rng.normal(2.0, 3.0, size=(8, 6, 6, 5)).astype(np.float32)
