@@ -194,6 +194,8 @@ def main():
         import jax
         jax.config.update("jax_platform_name", args.platform)
 
+    from mmdyn_tpu.utils.compile_cache import maybe_enable
+    maybe_enable()
     dtype = args.dtype if args.bf16 else "float32"
     fps, step_time, loss = bench_jax(args.batch, args.steps, args.latent,
                                      bf16=args.bf16, dtype=dtype)

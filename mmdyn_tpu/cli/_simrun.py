@@ -77,6 +77,161 @@ class DeferredTactile:
         return n
 
 
+class DeferredFrames:
+    """Fully device-side snapshot rendering (``--device-render`` on the
+    analytic engine).
+
+    ``DeferredTactile`` still pays one HOST raycast per snapshot (the visual
+    RGB / depth / seg come from ``backend.render``, 38-90 ms/frame) and
+    uploads each depth buffer to the accelerator. This class defers the
+    raycast itself: ``add_snapshot`` stores only the frame's camera state and
+    body poses (a few hundred bytes), and ``flush()`` renders visual RGB,
+    depth, segmentation AND the tactile image for the whole rollout in
+    batched jitted passes (sim/raycast_jax.py + sim/tactile_jax.py) — poses
+    go up, finished uint8 images come down. Replaces the per-interval host
+    block of the reference loops (exp_1_flat_plane.py:121-150,
+    tact_sim/tactile/sensor.py:342-445) for ``use_force=False`` sensors on
+    plane/sphere/box scenes (everything the analytic engine produces).
+
+    Dump parity with the host path: seg exact, depth within one uint8
+    quantum, RGB within the raycaster's contact-edge band
+    (tests/test_tactile_jax.py::test_demo_device_render_dump_parity).
+    """
+
+    _rc_cache = {}
+
+    def __init__(self, chunk=128):
+        self.chunk = int(chunk)
+        self._frames = []   # dicts per snapshot
+        self._sensor = None
+        self._tac = None
+        self._rc = None
+
+    def __len__(self):
+        return len(self._frames)
+
+    def add_snapshot(self, sensor, obj_id, path, img_counter,
+                     mask_seg_to_obj=True):
+        """Capture the frame state; returns (pose, force) like the host path."""
+        from mmdyn_tpu.sim.raycast_jax import RaycastJax, capture_scene
+        from mmdyn_tpu.sim.tactile_jax import TactileRendererJax
+
+        sensor._update_pose()
+        sensor._update_sensor()
+        sensor.refresh_contacts()
+
+        if self._sensor is None:
+            self._sensor = sensor
+            self._tac = TactileRendererJax.cached_from_sensor(sensor)
+            cam = sensor.camera
+            key = (cam.width, cam.height, float(cam.near), float(cam.far))
+            if key not in self._rc_cache:
+                self._rc_cache[key] = RaycastJax.from_camera(cam)
+            self._rc = self._rc_cache[key]
+
+        m_inv, eye, fwd = RaycastJax.capture_camera_state(sensor.camera)
+        t_m_inv, t_eye, t_dirs = TactileRendererJax.capture_frame_state(sensor)
+        sig, static, frame = capture_scene(sensor.backend)
+        self._frames.append({
+            "cam": (m_inv, eye, fwd), "tac": (t_m_inv, t_eye, t_dirs),
+            "sig": sig, "static": static, "frame": frame,
+            "path": Path(path), "counter": int(img_counter),
+            "obj_id": int(obj_id), "mask": bool(mask_seg_to_obj),
+        })
+
+        pose = sensor.backend.get_pose(obj_id)
+        force = sensor.contacts.total_force(obj_id) if sensor.contacts else 0.0
+        return pose, force
+
+    def flush(self):
+        """Render and write every queued snapshot's four PNGs.
+
+        Everything crossing the device link is packed to its final uint8 PNG
+        payload ON DEVICE (render_frames_packed) — the tunnel between this
+        host and the TPU is bandwidth-bound, and the clipped f32 depth feeds
+        the tactile pass as a device array without ever visiting the host.
+        """
+        import cv2
+
+        if not self._frames:
+            return 0
+        n = 0
+        # consecutive same-(signature, mask) runs share one compiled call
+        key = lambda f: (f["sig"], f["mask"])
+        groups, cur = [], [self._frames[0]]
+        for f in self._frames[1:]:
+            if key(f) == key(cur[0]):
+                cur.append(f)
+            else:
+                groups.append(cur)
+                cur = [f]
+        groups.append(cur)
+
+        mbd = float(self._sensor.max_buffer_depth)
+        for group in groups:
+            for i in range(0, len(group), self.chunk):
+                g = group[i:i + self.chunk]
+                cam_states = {
+                    "m_inv": np.stack([f["cam"][0] for f in g]),
+                    "eye": np.stack([f["cam"][1] for f in g]),
+                    "forward": np.stack([f["cam"][2] for f in g]),
+                }
+                scene = dict(g[0]["static"])
+                for k in ("sph_pos", "box_pos", "box_q"):
+                    scene[k] = np.stack([f["frame"][k] for f in g])
+                rgb, depth_clip, depth_png, seg_png = \
+                    self._rc.render_frames_packed(
+                        cam_states, scene, mbd,
+                        np.array([f["obj_id"] for f in g]),
+                        mask=g[0]["mask"])
+
+                r = self._tac
+                static_cam = all(
+                    np.array_equal(f["tac"][0], np.asarray(r._m_inv))
+                    and np.array_equal(f["tac"][1], np.asarray(r._eye))
+                    and np.array_equal(f["tac"][2],
+                                       np.asarray(r._light_dirs)[:, :, 0])
+                    for f in g)
+                if static_cam:
+                    tactile = r(depth_clip)
+                else:
+                    tactile = r.render_frames(
+                        depth_clip, np.stack([f["tac"][0] for f in g]),
+                        np.stack([f["tac"][1] for f in g]),
+                        np.stack([f["tac"][2] for f in g]))
+
+                rgb = np.asarray(rgb)
+                depth_png = np.asarray(depth_png)
+                seg_png = np.asarray(seg_png)
+                tactile = np.asarray(tactile)
+                for j, f in enumerate(g):
+                    f["path"].mkdir(parents=True, exist_ok=True)
+                    c = f["counter"]
+                    cv2.imwrite(str(f["path"] / f"visual_{c:04d}.png"),
+                                cv2.cvtColor(rgb[j], cv2.COLOR_RGB2BGR))
+                    cv2.imwrite(str(f["path"] / f"tactile_{c:04d}.png"),
+                                cv2.cvtColor(tactile[j], cv2.COLOR_RGB2BGR))
+                    cv2.imwrite(str(f["path"] / f"seg_{c:04d}.png"),
+                                seg_png[j])
+                    cv2.imwrite(str(f["path"] / f"depth_{c:04d}.png"),
+                                depth_png[j])
+                    n += 1
+        self._frames.clear()
+        return n
+
+
+def make_deferred(sensor):
+    """The deepest device-side deferral this sensor/backend supports:
+    full-frame rendering on the analytic engine (no equilibrium buffer),
+    tactile-only shading otherwise."""
+    from mmdyn_tpu.sim.physics import AnalyticBackend
+
+    if (isinstance(sensor.backend, AnalyticBackend)
+            and not getattr(sensor, "_use_force", False)):
+        return DeferredFrames()
+    return DeferredTactile()
+
+
 def snapshot(sensor, obj_id, path, img_counter, mask_seg_to_obj=True,
              debug=False, show_image=False, deferred=None):
     """One sensing snapshot: render, tactile-shade, dump PNGs.
@@ -85,8 +240,12 @@ def snapshot(sensor, obj_id, path, img_counter, mask_seg_to_obj=True,
     (exp_1_flat_plane.py:121-150). Returns (pose, contact_force). With
     ``deferred`` (a DeferredTactile), the host Phong shading is skipped and
     the frame's depth + camera state are queued for batched accelerator
-    rendering at end of rollout.
+    rendering at end of rollout; a DeferredFrames defers the raycast too
+    (nothing is rendered on the host, ``show_image`` is unavailable).
     """
+    if isinstance(deferred, DeferredFrames):
+        return deferred.add_snapshot(sensor, obj_id, path, img_counter,
+                                     mask_seg_to_obj=mask_seg_to_obj)
     rgb_img, rgb_eq, depth_eq, seg_img, seg_eq = sensor.get_sensor_image()
     seg_img = np.asarray(seg_img)
     if mask_seg_to_obj:

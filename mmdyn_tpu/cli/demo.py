@@ -37,12 +37,14 @@ parser.add_argument("--debug", action="store_true", default=False)
 
 
 def main(argv=None):
+    from mmdyn_tpu.utils.compile_cache import maybe_enable
+    maybe_enable()
     from mmdyn_tpu.sim import config
     from mmdyn_tpu.sim.physics import PyBulletBackend, setup_backend
     from mmdyn_tpu.sim.sensor import make_sensor
     from mmdyn_tpu.sim.assets import preload_object, spawn_object
     from mmdyn_tpu.sim import geometry, transforms
-    from mmdyn_tpu.cli._simrun import DeferredTactile, snapshot
+    from mmdyn_tpu.cli._simrun import make_deferred, snapshot
 
     args = parser.parse_args(argv)
     if args.seed is not None:
@@ -79,7 +81,7 @@ def main(argv=None):
 
     data = defaultdict(list)
     img_counter = 0
-    deferred = DeferredTactile() if args.device_render else None
+    deferred = make_deferred(sensor) if args.device_render else None
     path = Path(args.logdir).joinpath("dataset")
 
     for t in range(args.n_timesteps):

@@ -45,6 +45,8 @@ def main(argv=None):
     import jax
     if args.platform:
         jax.config.update("jax_platform_name", args.platform)
+    from mmdyn_tpu.utils.compile_cache import maybe_enable
+    maybe_enable()
     import jax.numpy as jnp
     import numpy as np
 

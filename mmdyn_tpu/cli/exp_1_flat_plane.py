@@ -75,7 +75,7 @@ def run_trial(args, info, k, engine):
     from mmdyn_tpu.sim.sensor import make_sensor
     from mmdyn_tpu.sim.sample import sample_pose
     from mmdyn_tpu.sim.assets import spawn_object
-    from mmdyn_tpu.cli._simrun import DeferredTactile, snapshot
+    from mmdyn_tpu.cli._simrun import make_deferred, snapshot
 
     backend = setup_backend(time_step=config.TIME_STEP,
                             renders=not args.headless, gravity=True,
@@ -114,7 +114,7 @@ def run_trial(args, info, k, engine):
 
     data = defaultdict(list)
     img_counter = 0
-    deferred = DeferredTactile() if args.device_render else None
+    deferred = make_deferred(sensor) if args.device_render else None
     path = Path(args.logdir).joinpath(info["synset"], info["obj_name"],
                                       "sequence_" + str(k).zfill(4))
     for t in range(args.n_timesteps):
@@ -148,6 +148,8 @@ def _run_trial_star(job):
 
 def main(argv=None):
     args = parser.parse_args(argv)
+    from mmdyn_tpu.utils.compile_cache import maybe_enable
+    maybe_enable()
     if args.seed is not None:
         random.seed(args.seed)
         np.random.seed(args.seed)

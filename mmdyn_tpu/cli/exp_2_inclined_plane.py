@@ -51,7 +51,7 @@ def run_trial(args, info, k, engine):
     from mmdyn_tpu.sim.sample import sample_pose
     from mmdyn_tpu.sim.assets import spawn_object
     from mmdyn_tpu.sim.transforms import quat_from_euler
-    from mmdyn_tpu.cli._simrun import DeferredTactile, snapshot
+    from mmdyn_tpu.cli._simrun import make_deferred, snapshot
 
     backend = setup_backend(time_step=config.TIME_STEP,
                             renders=not args.headless, gravity=True,
@@ -89,7 +89,7 @@ def run_trial(args, info, k, engine):
 
     data = defaultdict(list)
     img_counter = 0
-    deferred = DeferredTactile() if args.device_render else None
+    deferred = make_deferred(sensor) if args.device_render else None
     path = Path(args.logdir).joinpath(info["synset"], info["obj_name"],
                                       "sequence_" + str(k).zfill(4))
     sensor_pose = backend.get_pose(sensor.sensor_id)
@@ -135,6 +135,8 @@ def _run_trial_star(job):
 
 def main(argv=None):
     from mmdyn_tpu.cli.exp_1_flat_plane import iter_objects
+    from mmdyn_tpu.utils.compile_cache import maybe_enable
+    maybe_enable()
 
     args = parser.parse_args(argv)
     if args.seed is not None:

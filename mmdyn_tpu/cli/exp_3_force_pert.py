@@ -53,7 +53,7 @@ def run_trial(args, info, k, engine, force_amp):
     from mmdyn_tpu.sim.sensor import make_sensor
     from mmdyn_tpu.sim.sample import sample_pose
     from mmdyn_tpu.sim.assets import spawn_object
-    from mmdyn_tpu.cli._simrun import DeferredTactile, snapshot
+    from mmdyn_tpu.cli._simrun import make_deferred, snapshot
 
     backend = setup_backend(time_step=config.TIME_STEP,
                             renders=not args.headless, gravity=True,
@@ -91,7 +91,7 @@ def run_trial(args, info, k, engine, force_amp):
     data = defaultdict(list)
     shock = [force_amp * np.random.normal(), force_amp * np.random.normal(), 0]
     img_counter = 0
-    deferred = DeferredTactile() if args.device_render else None
+    deferred = make_deferred(sensor) if args.device_render else None
     path = Path(args.logdir).joinpath(info["synset"], info["obj_name"],
                                       str(int(force_amp)),
                                       "sequence_" + str(k).zfill(4))
@@ -134,6 +134,8 @@ def _run_trial_star(job):
 
 def main(argv=None):
     from mmdyn_tpu.cli.exp_1_flat_plane import iter_objects
+    from mmdyn_tpu.utils.compile_cache import maybe_enable
+    maybe_enable()
 
     args = parser.parse_args(argv)
     if args.seed is not None:

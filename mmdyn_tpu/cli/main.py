@@ -95,6 +95,8 @@ def main(argv=None):
     import jax
     if args.platform:
         jax.config.update("jax_platform_name", args.platform)
+    from mmdyn_tpu.utils.compile_cache import maybe_enable
+    maybe_enable()
 
     from mmdyn_tpu import config
     from mmdyn_tpu.parallel.mesh import make_mesh

@@ -68,13 +68,14 @@ class RaycastJax:
         self._width, self._height = int(width), int(height)
         self._near, self._far = float(near), float(far)
         self._proj_a, self._proj_b = float(proj_a), float(proj_b)
-        x = np.arange(self._width, dtype=np.float32)
-        y = np.arange(self._height, dtype=np.float32)
-        xm, ym = np.meshgrid(x, y)
-        self._xm = jnp.asarray(xm)
-        self._ym = jnp.asarray(ym)
+# the pixel grid is generated inside the traced function (broadcasted_iota)
+        # rather than closed over as a (H, W) device constant: embedded 1.2 MB
+        # constants must be downloaded through the tunnel at every process's
+        # first lowering and bloat the serialized HLO the compile cache ships
         self._render = jax.jit(self._render_batch,
                                static_argnames=("has_plane",))
+        self._render_packed = jax.jit(self._render_packed_batch,
+                                      static_argnames=("has_plane", "mask"))
 
     @classmethod
     def from_camera(cls, camera):
@@ -100,8 +101,11 @@ class RaycastJax:
     def _rays(self, m_inv, eye):
         """Unit ray directions through every pixel of the near plane, as 3
         (H, W) component grids (the _ray_grid math, physics.py:255-280)."""
-        x_ndc = 2.0 * self._xm / self._width - 1.0
-        y_ndc = 2.0 * self._ym / self._height - 1.0
+        shape = (self._height, self._width)
+        xm = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+        ym = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+        x_ndc = 2.0 * xm / self._width - 1.0
+        y_ndc = 2.0 * ym / self._height - 1.0
         ones = jnp.ones_like(x_ndc)
         pc = (x_ndc, y_ndc, -ones, ones)  # window z = near -> ndc z = -1
         world = [sum(m_inv[i, j] * pc[j] for j in range(4)) for i in range(4)]
@@ -213,6 +217,50 @@ class RaycastJax:
                 mi, e, f, sp, sph_r, sph_col, sph_id, bp, bq, box_he,
                 box_col, box_id, plane_col, has_plane)
         )(m_inv, eye, forward, sph_pos, box_pos, box_q)
+
+    def _render_packed_batch(self, m_inv, eye, forward, sph_pos, sph_r,
+                             sph_col, sph_id, box_pos, box_q, box_he, box_col,
+                             box_id, plane_col, mbd, obj_ids, has_plane,
+                             mask):
+        """Render + PNG-pack in ONE compiled program (the --device-render
+        dump path). The tunnel is bandwidth-bound (~20 MB/s), so everything
+        crossing it is packed to its final uint8 PNG payload on device:
+
+        * rgb: the visual PNG bytes (alpha dropped);
+        * depth_png: the camera.save_image quantisation ``(d * 255) -> u8``
+          of the max_buffer_depth-CLIPPED buffer (sensor.py:305-306);
+        * seg_png: the object-masked segmentation after save_image's
+          ``(seg * 255) -> u8`` wrap (-1 -> 1, id k -> (-k) mod 256);
+        * depth_clip: full-precision clipped buffer, returned as a DEVICE
+          array to feed TactileRendererJax without a host round-trip.
+        """
+        rgba, depth, seg = self._render_batch(
+            m_inv, eye, forward, sph_pos, sph_r, sph_col, sph_id, box_pos,
+            box_q, box_he, box_col, box_id, plane_col, has_plane)
+        depth_clip = jnp.minimum(depth, mbd)
+        depth_png = (depth_clip * 255.0).astype(jnp.uint8)
+        if mask:
+            oid = obj_ids[:, None, None]
+            seg = jnp.where(seg != oid, jnp.int32(-1), oid)
+        seg_png = (seg * 255).astype(jnp.uint8)
+        return rgba[..., :3], depth_clip, depth_png, seg_png
+
+    def render_frames_packed(self, cam_states, scene, max_buffer_depth,
+                             obj_ids, mask=True):
+        """Like ``render_frames`` but returns PNG-ready payloads:
+        (rgb u8, depth_clip f32 device array, depth_png u8, seg_png u8)."""
+        f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+        i32 = lambda a: jnp.asarray(np.asarray(a), jnp.int32)
+        return self._render_packed(
+            f32(cam_states["m_inv"]), f32(cam_states["eye"]),
+            f32(cam_states["forward"]),
+            f32(scene["sph_pos"]), f32(scene["sph_r"]), f32(scene["sph_col"]),
+            i32(scene["sph_id"]),
+            f32(scene["box_pos"]), f32(scene["box_q"]), f32(scene["box_he"]),
+            f32(scene["box_col"]), i32(scene["box_id"]),
+            f32(scene["plane_col"]), jnp.float32(max_buffer_depth),
+            i32(obj_ids), has_plane=bool(scene["has_plane"]),
+            mask=bool(mask))
 
     def render_frames(self, cam_states, scene):
         """Render a batch of frames.

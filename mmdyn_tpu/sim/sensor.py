@@ -300,7 +300,7 @@ class TactileSensor(Sensor):
         depth_img = np.array(depth_img, dtype=np.float64, copy=True)
         seg_img = np.asarray(seg_img)
 
-        self._contacts = Contact(self._sensor_id, self.backend)
+        self.refresh_contacts()
 
         mask = np.where(depth_img >= self.max_buffer_depth)
         depth_img[mask] = self.max_buffer_depth
@@ -358,6 +358,13 @@ class TactileSensor(Sensor):
         # so over-darkened negative pixels wrap modulo 256; replicate that
         # deterministically via an int64 modulo
         return (np.rint(tactile_img).astype(np.int64) % 256).astype(np.uint8)
+
+    def refresh_contacts(self):
+        """Recreate the contact snapshot get_sensor_image captures; exposed so
+        a deferred (device-rendered) snapshot path can take the same contact
+        reading without running the host raycast."""
+        self._contacts = Contact(self._sensor_id, self.backend)
+        return self._contacts
 
     def compute_equilibrium(self):
         """Binary-search the image buffer for the frame whose spring force

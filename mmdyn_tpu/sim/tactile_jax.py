@@ -34,7 +34,7 @@ class TactileRendererJax:
                  darkening_factor):
         m = np.matmul(np.asarray(projection_matrix), np.asarray(view_matrix))
         self._m_inv = jnp.asarray(np.linalg.inv(m), jnp.float32)
-        self._width, self._height = width, height
+        self._width, self._height = int(width), int(height)
         self._near, self._far = float(near), float(far)
         self._eye = jnp.asarray(np.asarray(camera_eye, np.float64), jnp.float32)
         self._light_dirs = jnp.asarray(np.stack(light_dirs)[:, :, None], jnp.float32)
@@ -51,11 +51,10 @@ class TactileRendererJax:
         self._dark = float(darkening_factor)
 
         self._proj = np.asarray(projection_matrix, np.float64)
-        x = np.arange(width, dtype=np.float32)
-        y = np.arange(height, dtype=np.float32)
-        xm, ym = np.meshgrid(x, y)
-        self._xm = jnp.asarray(xm)
-        self._ym = jnp.asarray(ym)
+        # pixel grid generated in-trace (broadcasted_iota), not closed over
+        # as a 1.2 MB device constant: embedded constants must be downloaded
+        # through the tunnel at each process's first lowering and bloat the
+        # serialized HLO the compile cache ships (see raycast_jax.py)
         self._render = jax.jit(self._render_batch)
         self._render_dyn = jax.jit(self._render_batch_dynamic)
 
@@ -131,8 +130,10 @@ class TactileRendererJax:
         """(B, H, W) depths + per-frame (B, 4, 4) inverse view-projections,
         (B, 3) eyes and (B, 4, 3) light directions -> (B, H, W, 3) uint8.
         Same math as ``__call__`` but nothing camera-dependent is baked in."""
+        # jnp.asarray keeps an already-on-device depth batch (the packed
+        # raycast path) on device; numpy inputs upload as before
         return self._render_dyn(
-            jnp.asarray(np.asarray(depth_batch), jnp.float32),
+            jnp.asarray(depth_batch, jnp.float32),
             jnp.asarray(np.asarray(m_invs), jnp.float32),
             jnp.asarray(np.asarray(eyes), jnp.float32),
             jnp.asarray(np.asarray(light_dirs), jnp.float32))
@@ -157,8 +158,11 @@ class TactileRendererJax:
 
         # unproject: window -> ndc -> world (camera.py unproject pipeline)
         z_w = (self._far - self._near) * depth_b + self._near
-        x_ndc = 2.0 * self._xm / self._width - 1.0
-        y_ndc = 2.0 * self._ym / self._height - 1.0
+        shape = (self._height, self._width)
+        xm = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+        ym = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+        x_ndc = 2.0 * xm / self._width - 1.0
+        y_ndc = 2.0 * ym / self._height - 1.0
         z_ndc = (2.0 * z_w - (self._far + self._near)) / (self._far - self._near)
         ones = jnp.ones_like(z_ndc)
         pc = (x_ndc, y_ndc, z_ndc, ones)

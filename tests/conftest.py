@@ -16,3 +16,9 @@ import jax  # noqa: E402
 # Some environments register an experimental TPU plugin that overrides
 # JAX_PLATFORMS; pin the default backend explicitly.
 jax.config.update("jax_platform_name", "cpu")
+
+# Persistent compilation cache: the suite is compile-bound on one CPU core
+# (~13 min cold); cached reruns skip recompiling unchanged jit programs.
+from mmdyn_tpu.utils.compile_cache import maybe_enable  # noqa: E402
+
+maybe_enable("/tmp/mmdyn_xla_cache_tests")

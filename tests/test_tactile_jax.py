@@ -60,8 +60,10 @@ def test_per_frame_state_matches_static_path():
 
 
 def test_demo_device_render_dump_parity(tmp_path):
-    """--device-render writes tactile PNGs equivalent to the host pipeline's
-    (within 1 uint8 outside contact-edge pixels) and identical other streams."""
+    """--device-render (now the fully device-side DeferredFrames path on the
+    analytic engine: raycast + tactile shading on the accelerator) writes a
+    dump equivalent to the host pipeline's: seg/depth near-exact, visual and
+    tactile within 1 uint8 outside contact-edge pixels."""
     import cv2
 
     from mmdyn_tpu.cli import demo
@@ -72,19 +74,41 @@ def test_demo_device_render_dump_parity(tmp_path):
     demo.main(common + ["--logdir", str(host_dir)])
     demo.main(common + ["--logdir", str(dev_dir), "--device-render"])
 
-    host_pngs = sorted((host_dir / "dataset").glob("tactile_*.png"))
-    dev_pngs = sorted((dev_dir / "dataset").glob("tactile_*.png"))
-    assert len(host_pngs) == len(dev_pngs) == 6
-    for hp, dp in zip(host_pngs, dev_pngs):
-        a = cv2.imread(str(hp)).astype(int)
-        b = cv2.imread(str(dp)).astype(int)
-        diff = np.abs(a - b)
-        assert (diff <= 1).mean() > 0.998, (hp.name, (diff <= 1).mean())
-    # non-tactile streams are written by the same host path either way
-    for name in ("visual_0003.png", "depth_0003.png", "seg_0003.png"):
-        a = cv2.imread(str(host_dir / "dataset" / name))
-        b = cv2.imread(str(dev_dir / "dataset" / name))
-        np.testing.assert_array_equal(a, b)
+    for stream, n_expected in (("tactile", 6), ("visual", 6)):
+        host_pngs = sorted((host_dir / "dataset").glob(f"{stream}_*.png"))
+        dev_pngs = sorted((dev_dir / "dataset").glob(f"{stream}_*.png"))
+        assert len(host_pngs) == len(dev_pngs) == n_expected
+        for hp, dp in zip(host_pngs, dev_pngs):
+            a = cv2.imread(str(hp)).astype(int)
+            b = cv2.imread(str(dp)).astype(int)
+            diff = np.abs(a - b)
+            assert (diff <= 1).mean() > 0.998, (hp.name, (diff <= 1).mean())
+    # depth: within one uint8 quantum (f32 device vs f64 host); seg: a thin
+    # contact-edge band at most
+    for k in range(6):
+        a = cv2.imread(str(host_dir / "dataset" / f"depth_{k:04d}.png")).astype(int)
+        b = cv2.imread(str(dev_dir / "dataset" / f"depth_{k:04d}.png")).astype(int)
+        assert np.abs(a - b).max() <= 1, f"depth_{k:04d}"
+        a = cv2.imread(str(host_dir / "dataset" / f"seg_{k:04d}.png"))
+        b = cv2.imread(str(dev_dir / "dataset" / f"seg_{k:04d}.png"))
+        assert (a != b).mean() < 0.002, f"seg_{k:04d}: {(a != b).mean()}"
+
+
+def test_make_deferred_routing():
+    """Analytic + use_force=False sensors get the fully device-side
+    DeferredFrames; a use_force sensor (equilibrium image buffer) must keep
+    the host-raycast DeferredTactile."""
+    from mmdyn_tpu.cli._simrun import (DeferredFrames, DeferredTactile,
+                                       make_deferred)
+
+    backend, sensor = _scene()
+    assert isinstance(make_deferred(sensor), DeferredFrames)
+
+    backend2 = AnalyticBackend()
+    sensor2 = make_sensor(backend2, size=[1.5, 1.5, 1.0],
+                          position=[0, 0, 0.5], sensor_vector=[0, 0, 1],
+                          thickness=0.05, use_force=True)
+    assert isinstance(make_deferred(sensor2), DeferredTactile)
 
 
 def test_deferred_flush_routes_static_vs_moving(tmp_path, monkeypatch):
