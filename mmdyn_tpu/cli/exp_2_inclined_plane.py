@@ -33,6 +33,14 @@ parser.add_argument("--device-render", action="store_true", default=False,
 parser.add_argument("--headless", action="store_true", default=False)
 parser.add_argument("--slope", type=float, default=0.15,
                     help="Sensor tilt angle (radians).")
+parser.add_argument("--use-force", action="store_true", default=False,
+                    help="Equilibrium sensor mode: tactile frames come from "
+                    "the image-buffer spring/contact-force binary search "
+                    "(sensor.py::compute_equilibrium) instead of the "
+                    "instantaneous clip. The reference ships this sensor "
+                    "capability but never exercises it in an experiment "
+                    "(tact_sim/tactile/sensor.py:265,274); off by default "
+                    "for dump parity.")
 parser.add_argument("--debug", action="store_true", default=False)
 parser.add_argument("--trial_per_obj", type=int, default=10)
 parser.add_argument("--engine", type=str, default="auto",
@@ -59,7 +67,7 @@ def run_trial(args, info, k, engine):
     tilt = quat_from_euler([0.0, args.slope, 0.0])
     sensor = make_sensor(backend, size=[1.5, 1.5, 1], position=[0, 0, 0.5],
                          orientation=tuple(tilt), sensor_vector=[0, 0, 1],
-                         thickness=0.005, use_force=False,
+                         thickness=0.005, use_force=args.use_force,
                          constrained=isinstance(backend, PyBulletBackend),
                          fast_shading=args.fast_shading)
 
