@@ -111,6 +111,50 @@ def test_make_deferred_routing():
     assert isinstance(make_deferred(sensor2), DeferredTactile)
 
 
+def test_deferred_frames_moving_sensor_parity(tmp_path):
+    """DeferredFrames with a sensor that moves mid-rollout (the exp_3 shock)
+    must render every frame from its own captured camera state and match the
+    host pipeline per frame."""
+    import cv2
+
+    from mmdyn_tpu.cli._simrun import DeferredFrames, snapshot
+
+    backend, sensor = _scene()
+    obj_id = backend.last_body_id()
+    host_dir, dev_dir = tmp_path / "host", tmp_path / "dev"
+    poses = [([0.0, 0.0, 0.5], [0, 0, 0, 1]),
+             ([0.22, 0.12, 0.55], [0, 0, 0, 1])]
+
+    for i, (p, q) in enumerate(poses):
+        backend.set_pose(sensor.sensor_id, p, q)
+        snapshot(sensor, obj_id, host_dir, i)
+
+    d = DeferredFrames()
+    for i, (p, q) in enumerate(poses):
+        backend.set_pose(sensor.sensor_id, p, q)
+        d.add_snapshot(sensor, obj_id, dev_dir, i)
+    assert len(d) == 2
+    assert d.flush() == 2
+
+    for i in range(2):
+        for stream in ("visual", "tactile"):
+            a = cv2.imread(str(host_dir / f"{stream}_{i:04d}.png")).astype(int)
+            b = cv2.imread(str(dev_dir / f"{stream}_{i:04d}.png")).astype(int)
+            diff = np.abs(a - b)
+            assert (diff <= 1).mean() > 0.998, (stream, i, (diff <= 1).mean())
+        a = cv2.imread(str(host_dir / f"depth_{i:04d}.png")).astype(int)
+        b = cv2.imread(str(dev_dir / f"depth_{i:04d}.png")).astype(int)
+        assert np.abs(a - b).max() <= 1, f"depth_{i:04d}"
+        a = cv2.imread(str(host_dir / f"seg_{i:04d}.png"))
+        b = cv2.imread(str(dev_dir / f"seg_{i:04d}.png"))
+        assert (a != b).mean() < 0.002, f"seg_{i:04d}: {(a != b).mean()}"
+
+    # the displacement must actually change the rendering (moving path taken)
+    t0 = cv2.imread(str(dev_dir / "tactile_0000.png"))
+    t1 = cv2.imread(str(dev_dir / "tactile_0001.png"))
+    assert not np.array_equal(t0, t1)
+
+
 def test_deferred_flush_routes_static_vs_moving(tmp_path, monkeypatch):
     """A static sensor's frames take the cheaper baked-matrix path; a sensor
     that moved mid-rollout must take the per-frame-matrix path (exp_3)."""
