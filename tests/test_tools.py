@@ -167,3 +167,22 @@ class TestRerenderDataset:
             diff = np.abs(a.astype(int) - b.astype(int))
             # uint8 depth quantisation moves a few counts; gross agreement
             assert np.mean(diff) < 6.0, np.mean(diff)
+
+
+class TestCompileCache:
+    def test_respects_opt_out(self, monkeypatch):
+        from mmdyn_tpu.utils import compile_cache
+        monkeypatch.setenv("MMDYN_COMPILE_CACHE", "off")
+        assert compile_cache.maybe_enable() is None
+
+    def test_env_dir_and_explicit_dir(self, tmp_path, monkeypatch):
+        import jax
+        from mmdyn_tpu.utils import compile_cache
+        monkeypatch.setenv("MMDYN_COMPILE_CACHE", str(tmp_path / "envdir"))
+        assert compile_cache.maybe_enable() == str(tmp_path / "envdir")
+        # explicit argument wins over the env var (the test-suite conftest)
+        assert (compile_cache.maybe_enable(str(tmp_path / "arg"))
+                == str(tmp_path / "arg"))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "arg")
+        # restore the suite's cache dir for subsequent tests
+        compile_cache.maybe_enable("/tmp/mmdyn_xla_cache_tests")
