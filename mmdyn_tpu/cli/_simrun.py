@@ -61,14 +61,21 @@ class DeferredTactile:
         n = 0
         for i in range(0, len(self._frames), self.chunk):
             group = self._frames[i:i + self.chunk]
-            depths = np.stack([g[0] for g in group])
+            # pad to a power-of-two bucket so all rollout lengths share a few
+            # compiled programs (a fresh remote compile costs 25-300 s; the
+            # padded frames cost one extra depth upload + ~1 ms compute)
+            bucket = 1
+            while bucket < len(group):
+                bucket *= 2
+            gp = group + [group[-1]] * (bucket - len(group))
+            depths = np.stack([g[0] for g in gp])
             if static:
-                imgs = np.asarray(r(depths))
+                imgs = np.asarray(r(depths)[:len(group)])
             else:
                 imgs = np.asarray(r.render_frames(
-                    depths, np.stack([g[1] for g in group]),
-                    np.stack([g[2] for g in group]),
-                    np.stack([g[3] for g in group])))
+                    depths, np.stack([g[1] for g in gp]),
+                    np.stack([g[2] for g in gp]),
+                    np.stack([g[3] for g in gp]))[:len(group)])
             for img, (_, _, _, _, path, counter) in zip(imgs, group):
                 self._camera.save_image(img, path,
                                         title=f"tactile_{counter:04d}")
@@ -171,19 +178,33 @@ class DeferredFrames:
         for group in groups:
             for i in range(0, len(group), self.chunk):
                 g = group[i:i + self.chunk]
+                # pad the batch to a power-of-two bucket so every rollout
+                # length shares a handful of compiled programs: a fresh
+                # compile costs 25-300 s through the tunnel, rendering a
+                # padded frame ~1 ms. Padded rows repeat the last frame and
+                # are sliced off ON DEVICE before download, so they never
+                # cross the tunnel.
+                n_real = len(g)
+                bucket = 1
+                while bucket < n_real:
+                    bucket *= 2
+                pad = [g[-1]] * (bucket - n_real)
+                gp = g + pad
                 cam_states = {
-                    "m_inv": np.stack([f["cam"][0] for f in g]),
-                    "eye": np.stack([f["cam"][1] for f in g]),
-                    "forward": np.stack([f["cam"][2] for f in g]),
+                    "m_inv": np.stack([f["cam"][0] for f in gp]),
+                    "eye": np.stack([f["cam"][1] for f in gp]),
+                    "forward": np.stack([f["cam"][2] for f in gp]),
                 }
                 scene = dict(g[0]["static"])
                 for k in ("sph_pos", "box_pos", "box_q"):
-                    scene[k] = np.stack([f["frame"][k] for f in g])
+                    scene[k] = np.stack([f["frame"][k] for f in gp])
                 rgb, depth_clip, depth_png, seg_png = \
                     self._rc.render_frames_packed(
                         cam_states, scene, mbd,
-                        np.array([f["obj_id"] for f in g]),
+                        np.array([f["obj_id"] for f in gp]),
                         mask=g[0]["mask"])
+                rgb, depth_png, seg_png = (rgb[:n_real], depth_png[:n_real],
+                                           seg_png[:n_real])
 
                 r = self._tac
                 static_cam = all(
@@ -192,13 +213,15 @@ class DeferredFrames:
                     and np.array_equal(f["tac"][2],
                                        np.asarray(r._light_dirs)[:, :, 0])
                     for f in g)
+                # depth_clip is still bucket-padded so the tactile pass
+                # shares the same few compiled shapes; slice device-side
                 if static_cam:
-                    tactile = r(depth_clip)
+                    tactile = r(depth_clip)[:n_real]
                 else:
                     tactile = r.render_frames(
-                        depth_clip, np.stack([f["tac"][0] for f in g]),
-                        np.stack([f["tac"][1] for f in g]),
-                        np.stack([f["tac"][2] for f in g]))
+                        depth_clip, np.stack([f["tac"][0] for f in gp]),
+                        np.stack([f["tac"][1] for f in gp]),
+                        np.stack([f["tac"][2] for f in gp]))[:n_real]
 
                 rgb = np.asarray(rgb)
                 depth_png = np.asarray(depth_png)

@@ -83,7 +83,12 @@ def main():
         batch = np.stack([
             cv2.imread(str(p), cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
             for p in group])
-        imgs = np.asarray(renderer(batch))
+        if len(group) < args.batch:
+            # pad the tail to the full batch shape so it reuses the same
+            # compiled program (a fresh remote compile costs 25-300 s here)
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], args.batch - len(group), 0)])
+        imgs = np.asarray(renderer(batch)[:len(group)])
         for img, p in zip(imgs, group):
             out = p.with_name(p.name.replace(
                 "depth_", f"tactile{args.suffix}_"))
