@@ -56,27 +56,95 @@ class Swish(nn.Module):
         return swish(x)
 
 
+def _train_bn_fwd_math(x, scale, bias, eps):
+    """Forward of always-train-mode BN: batch statistics in f32, the
+    normalisation itself in the activation dtype (under bfloat16_full the
+    (x - mean) * inv fusion moves 2-byte tensors)."""
+    axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)  # biased
+    inv = jax.lax.rsqrt(var + eps)
+    y = ((x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+         * scale.astype(x.dtype) + bias.astype(x.dtype))
+    return y, mean, inv
+
+
+from functools import partial as _bn_partial
+
+
+@_bn_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _train_bn_manual(x, scale, bias, eps):
+    """Train-mode BN with the textbook two-pass backward.
+
+    XLA's autodiff of the mean/var graph above emits its gradient as chained
+    sub-gradients (d var -> d mean -> d x); the closed form
+
+        dx = g * inv / N * (N*ct - sum(ct) - xhat * sum(ct * xhat))
+
+    needs exactly two fused passes over (ct, x): one for the three channel
+    reductions (which also yield d_scale/d_bias) and one elementwise pass
+    for dx. A/B-measured on v5e (docs/PARITY.md "BN statistics traffic"):
+    3.5-8% faster on the seq@512 flagship in two same-session pairings, a
+    wash at dyn 256x8 — the DEFAULT. ``MMDYN_BN_VJP=autodiff`` restores
+    XLA autodiff of the statistics graph.
+    """
+    y, _, _ = _train_bn_fwd_math(x, scale, bias, eps)
+    return y
+
+
+def _train_bn_manual_fwd(x, scale, bias, eps):
+    y, mean, inv = _train_bn_fwd_math(x, scale, bias, eps)
+    return y, (x, scale, mean, inv)
+
+
+def _train_bn_manual_bwd(eps, res, ct):
+    x, scale, mean, inv = res
+    axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    ctf = ct.astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - mean) * inv
+    sum_ct = jnp.sum(ctf, axis=axes)
+    sum_ct_xhat = jnp.sum(ctf * xhat, axis=axes)
+    g_inv = (scale.astype(jnp.float32) * inv) / n
+    dx = g_inv * (n * ctf - sum_ct - xhat * sum_ct_xhat)
+    return dx.astype(x.dtype), sum_ct_xhat, sum_ct
+
+
+_train_bn_manual.defvjp(_train_bn_manual_fwd, _train_bn_manual_bwd)
+
+
 class TrainBatchNorm(nn.Module):
-    """BatchNorm that always uses current-batch statistics (see module doc)."""
+    """BatchNorm that always uses current-batch statistics (see module doc).
+
+    ``MMDYN_BN_VJP``: ``manual`` forces the hand-derived two-pass backward,
+    ``autodiff`` forces XLA autodiff of the statistics graph, ``auto``
+    (default) picks manual — identical math either way (same closed form,
+    f32 accumulation; only the reduction scheduling differs).
+    ``MMDYN_BN_NOSTATS=1`` is a PERF-ONLY ablation (wrong numerics!) that
+    replaces the statistics with constants, bounding from above what any
+    stats-fusion kernel could save (docs/PARITY.md).
+    """
 
     eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, x):
-        # normalise over all axes but the channel axis (last); statistics
-        # always accumulate in f32 (bfloat16_full activations would lose the
-        # variance to squaring error otherwise)
-        axes = tuple(range(x.ndim - 1))
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes)
-        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)  # biased
+        import os
+
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        inv = jax.lax.rsqrt(var + self.eps)
-        # the normalisation itself reads/writes the activation dtype: under
-        # bfloat16_full the (x - mean) * inv fusion moves 2-byte tensors
-        return ((x - mean.astype(x.dtype)) * inv.astype(x.dtype)
-                * scale.astype(x.dtype) + bias.astype(x.dtype))
+        if os.environ.get("MMDYN_BN_NOSTATS") == "1":
+            inv = jax.lax.rsqrt(jnp.ones((x.shape[-1],), jnp.float32) + self.eps)
+            return (x * inv.astype(x.dtype) * scale.astype(x.dtype)
+                    + bias.astype(x.dtype))
+        mode = os.environ.get("MMDYN_BN_VJP", "auto")
+        if mode in ("auto", "manual"):
+            return _train_bn_manual(x, scale, bias, self.eps)
+        y, _, _ = _train_bn_fwd_math(x, scale, bias, self.eps)
+        return y
 
 
 def _cast_compute(x, kernel, compute_dtype):

@@ -139,6 +139,39 @@ class TestLayers:
         got_dil = layer.apply(params, x)
         np.testing.assert_array_equal(np.asarray(got_sg), np.asarray(got_dil))
 
+    @pytest.mark.parametrize("shape,dt", [((8, 6, 6, 5), "float32"),
+                                          ((4, 3, 3, 7), "bfloat16"),
+                                          ((16, 9), "float32")])
+    def test_train_bn_manual_vjp_matches_autodiff(self, shape, dt):
+        """The hand-derived two-pass BN backward (MMDYN_BN_VJP=manual, the
+        default) must agree with XLA autodiff of the statistics graph:
+        forward bit-exact, gradients to accumulation order."""
+        from mmdyn_tpu.models.layers import (_train_bn_fwd_math,
+                                             _train_bn_manual)
+
+        dtype = jnp.bfloat16 if dt == "bfloat16" else jnp.float32
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(2.0, 3.0, size=shape), dtype)
+        g = jnp.asarray(rng.normal(1.0, 0.2, size=shape[-1:]), jnp.float32)
+        b = jnp.asarray(rng.normal(size=shape[-1:]), jnp.float32)
+
+        ya = _train_bn_manual(x, g, b, 1e-5)
+        yb = _train_bn_fwd_math(x, g, b, 1e-5)[0]
+        np.testing.assert_array_equal(np.asarray(ya, np.float32),
+                                      np.asarray(yb, np.float32))
+
+        f_man = lambda x, g, b: jnp.sum(jnp.sin(
+            _train_bn_manual(x, g, b, 1e-5).astype(jnp.float32)))
+        f_aut = lambda x, g, b: jnp.sum(jnp.sin(
+            _train_bn_fwd_math(x, g, b, 1e-5)[0].astype(jnp.float32)))
+        ga = jax.grad(f_man, argnums=(0, 1, 2))(x, g, b)
+        gb = jax.grad(f_aut, argnums=(0, 1, 2))(x, g, b)
+        rtol, atol = ((5e-2, 5e-3) if dt == "bfloat16" else (1e-5, 1e-4))
+        for u, v in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(u, np.float32),
+                                       np.asarray(v, np.float32),
+                                       rtol=rtol, atol=atol)
+
     def test_train_batchnorm_matches_torch_train_mode(self):
         rng = np.random.default_rng(2)
         x = rng.normal(2.0, 3.0, size=(8, 6, 6, 5)).astype(np.float32)
