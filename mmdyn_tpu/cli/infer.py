@@ -1,0 +1,183 @@
+"""Batch inference / deployment CLI for trained runs.
+
+New capability vs the reference (which can only reattach a run inside the
+training harness, problems.py:68-83):
+
+    # predict resting states for every frame of a sim dump sequence
+    python -m mmdyn_tpu.cli.infer --run logs/run_... --frames dump/sequence_0
+
+    # closed-loop dynamics rollout from the first frame (dyn models)
+    python -m mmdyn_tpu.cli.infer --run logs/run_... --frames dump/sequence_0 \
+        --rollout 20
+
+    # write a self-contained deployment artifact (StableHLO + params)
+    python -m mmdyn_tpu.cli.infer --run logs/run_... --export artifact_dir
+
+Frames are prepared exactly as the training compile does (seg-bbox square
+crop -> 256 -> 64, datasets.py:159-345) so serving inputs match the training
+distribution.
+"""
+
+import argparse
+import glob
+import json
+import os
+import time
+from pathlib import Path
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Inference on a trained run")
+    p.add_argument("--run", required=True, type=str)
+    p.add_argument("--frames", default=None, type=str,
+                   help="sequence dump dir (visual_*.png [tactile_*, seg_*])")
+    p.add_argument("--out", default=None, type=str,
+                   help="output dir (default: <run>/plot/infer)")
+    p.add_argument("--batchsize", default=64, type=int)
+    p.add_argument("--rollout", default=0, type=int,
+                   help="closed-loop steps from the first frame")
+    p.add_argument("--sample", action="store_true", default=False,
+                   help="stochastic z (default: posterior mean)")
+    p.add_argument("--parity", action="store_true", default=False,
+                   help="train-mode dropout (reference eval semantics)")
+    p.add_argument("--export", default=None, type=str,
+                   help="write a jax.export deployment artifact here")
+    p.add_argument("--checkpoint", default=None, type=str,
+                   help="checkpoint name under <run>/checkpoint (default: latest)")
+    p.add_argument("--platform", default=None, type=str)
+    return p
+
+
+def _load_frames(frames_dir, modalities):
+    """Sim-dump PNGs -> dict of (N, 64, 64, 3) float32 in [0, 1]."""
+    import numpy as np
+
+    from mmdyn_tpu.data.compile import (_bounding_box, _load_image,
+                                        _to_train_res)
+
+    frames_dir = Path(frames_dir)
+
+    def sorted_glob(prefix):
+        return sorted(glob.glob(str(frames_dir / f"{prefix}_*.png")))
+
+    seg_paths = sorted_glob("seg")
+    out = {}
+    for m in modalities:
+        if m == "pose":
+            continue
+        paths = sorted_glob(m)
+        if not paths:
+            raise FileNotFoundError(f"no {m}_*.png under {frames_dir}")
+        imgs = []
+        for i, path in enumerate(paths):
+            bbox = None
+            if i < len(seg_paths):
+                bbox = _bounding_box(_load_image(seg_paths[i], resize=False))
+            img = _load_image(path, bounding_box=bbox)       # 256x256 uint8
+            imgs.append(_to_train_res(img))                  # 64x64 uint8
+        out[m] = np.stack(imgs).astype(np.float32) / 255.0
+    lens = {m: len(v) for m, v in out.items()}
+    if len(set(lens.values())) > 1:
+        raise ValueError(f"modality frame counts differ: {lens}")
+    return out
+
+
+def _save_images(out_dir, name, arr):
+    import numpy as np
+    from PIL import Image
+
+    for i, img in enumerate(np.asarray(arr)):
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+            Path(out_dir) / f"{name}_{i:04d}.png")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+    if args.platform:
+        jax.config.update("jax_platform_name", args.platform)
+    from mmdyn_tpu.utils.compile_cache import maybe_enable
+    maybe_enable()
+    import numpy as np
+
+    from mmdyn_tpu.serve import InferenceSession, export_session
+
+    session = InferenceSession.from_run(args.run, parity=args.parity,
+                                        checkpoint=args.checkpoint)
+    cfg = session.cfg
+    modalities = (("visual", "tactile") if cfg.cross_modal
+                  else (cfg.input_type,))
+
+    if args.export:
+        manifest = export_session(session, args.export,
+                                  batch_size=args.batchsize,
+                                  modalities=modalities, sample=args.sample)
+        print(json.dumps({"export": args.export,
+                          "platforms": manifest["platforms"],
+                          "modalities": manifest["modalities"],
+                          "batch_size": manifest["batch_size"]}))
+        return manifest
+
+    if not args.frames:
+        raise SystemExit("--frames or --export is required")
+    out_dir = Path(args.out or Path(args.run) / "plot" / "infer")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    frames = _load_frames(args.frames, modalities)
+    n = len(next(iter(frames.values())))
+    report = {"run": args.run, "frames": args.frames, "n_frames": n,
+              "modalities": list(modalities), "batchsize": args.batchsize}
+
+    if args.rollout:
+        init = {m: v[:1] for m, v in frames.items()}
+        t0 = time.perf_counter()
+        traj = session.rollout(args.rollout, **init, sample=args.sample)
+        jax.block_until_ready(traj)
+        dt = time.perf_counter() - t0
+        for m in modalities:
+            _save_images(out_dir, f"rollout_{m}", traj[m][:, 0])
+        report["rollout_steps"] = args.rollout
+        report["rollout_s"] = round(dt, 4)
+    else:
+        bs = min(args.batchsize, n)
+        regression = cfg.problem_type == "regression"
+        out_keys = ("pose",) if regression else modalities
+        preds, lat = {k: [] for k in out_keys}, []
+        for s in range(0, n, bs):
+            batch = {m: v[s:s + bs] for m, v in frames.items()}
+            pad = bs - len(next(iter(batch.values())))
+            if pad > 0:  # static batch shape: pad the ragged tail
+                batch = {m: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                         for m, v in batch.items()}
+            t0 = time.perf_counter()
+            out = session.predict(**batch, sample=args.sample)
+            jax.block_until_ready(out)
+            lat.append(time.perf_counter() - t0)
+            for k in out_keys:
+                arr = np.asarray(out[k])
+                preds[k].append(arr[:len(arr) - pad] if pad else arr)
+        if regression:
+            poses = np.concatenate(preds["pose"])
+            np.save(out_dir / "pred_pose.npy", poses)
+            report["pose_mean"] = [round(float(x), 5) for x in poses.mean(0)]
+        else:
+            for m in out_keys:
+                _save_images(out_dir, f"pred_{m}", np.concatenate(preds[m]))
+        # first batch includes compile; steady-state latency excludes it
+        report["latency_ms_first"] = round(lat[0] * 1e3, 2)
+        if len(lat) > 1:
+            steady = lat[1:]
+            report["latency_ms_steady"] = round(
+                sum(steady) / len(steady) * 1e3, 2)
+            report["frames_per_s"] = round(bs * len(steady) / sum(steady), 1)
+
+    with open(out_dir / "infer_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -182,6 +182,7 @@ class VAE(nn.Module):
     conditional: bool = False
     categorical_conditions: bool = False
     condition_dim: Optional[int] = None
+    dropout_rate: float = DROPOUT_RATE
     compute_dtype: str = "float32"
 
     def setup(self):
@@ -193,6 +194,7 @@ class VAE(nn.Module):
             conditional=self.conditional,
             categorical_conditions=self.categorical_conditions,
             condition_dim=self.condition_dim,
+            dropout_rate=self.dropout_rate,
             compute_dtype=self.compute_dtype,
         )
         self.decoder = Decoder(

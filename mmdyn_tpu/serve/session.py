@@ -1,0 +1,335 @@
+"""Inference/serving sessions: load a trained run, predict without a dataset.
+
+The reference has no deployment story at all — a trained model can only be
+reattached inside the training harness for manual analysis
+(mmdyn/pytorch/problems/problems.py:68-83), which requires the full dataset
+on disk and re-runs evaluation in training mode. ``InferenceSession`` is the
+TPU-native serving path:
+
+* loads params straight from an orbax checkpoint (template-free restore — no
+  dataset, no optimizer state kept);
+* deterministic by default: dropout off (the model is rebuilt with
+  ``dropout_rate=0``, which leaves the param tree unchanged) and ``z`` = the
+  posterior mean. BatchNorm stays batch-statistics — that IS the reference's
+  own serving semantics (problems.py:174 evaluates under model.train()), so
+  predictions depend mildly on the composition of the served batch;
+  ``parity=True`` restores train-mode dropout too;
+* one jitted program per (modality-presence, batch-shape) signature; AOT
+  compilation via :meth:`aot_predict` for latency-critical callers;
+* closed-loop :meth:`rollout` for the dynamics models (``lax.scan`` over the
+  one-step predictor — a capability the reference never wired up: its
+  DynModeling trains one-step transitions, problems.py:760-803, but offers
+  no way to iterate them).
+
+Modality subsets follow the MVAE's product-of-experts semantics
+(vae.py:126-165): any non-None subset of (visual, tactile, pose) fuses with
+the prior expert; absent modalities are simply not encoded.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmdyn_tpu.models.factory import setup_model
+from mmdyn_tpu.ops.poe import product_of_experts, reparametrize
+from mmdyn_tpu.problems.base import ProblemConfig
+from mmdyn_tpu.utils.runs import config_from_args, load_run_args
+
+IMAGE_SHAPE = (64, 64, 3)
+POSE_DIM = 7
+_FC_WIDTH = 512  # encoder/regressor trunk width ahead of the condition concat
+
+
+def _infer_condition_dim(cfg: ProblemConfig, params) -> Optional[int]:
+    """Recover the shock-force width from the checkpoint's param shapes.
+
+    condition_dim is probed from the dataset at train time
+    (train/loop.py:104-106) and is not in problem.pkl; serving must not need
+    the dataset. The condition concat happens between the 512-wide trunk and
+    the first head (models/vae.py:112-117, models/regressor.py:52-56), so the
+    head's fan-in exposes it.
+    """
+    if not cfg.conditional:
+        return None
+    if cfg.problem_type == "regression":
+        head = params["out_0"]["kernel"]
+    else:
+        enc = params.get("visual_encoder") or params.get("encoder")
+        head = enc["linear_means"]["kernel"]
+    return int(head.shape[0]) - _FC_WIDTH
+
+
+class InferenceSession:
+    """Deterministic (by default) forward-only access to a trained model."""
+
+    def __init__(self, cfg: ProblemConfig, params, parity: bool = False):
+        self.cfg = cfg
+        self.parity = parity
+        kwargs = {} if parity else {"dropout_rate": 0.0}
+        if cfg.problem_type == "regression":
+            self.model = setup_model(cfg.model_name, out_dim=POSE_DIM,
+                                     conditional=cfg.conditional,
+                                     condition_dim=cfg.condition_dim,
+                                     compute_dtype=cfg.compute_dtype, **kwargs)
+        else:
+            mk = dict(latent_size=cfg.latent_size,
+                      architecture=cfg.model_name.split("-")[0],
+                      conditional=cfg.conditional,
+                      categorical_conditions=cfg.categorical_conditions,
+                      condition_dim=cfg.condition_dim,
+                      compute_dtype=cfg.compute_dtype, **kwargs)
+            if cfg.is_mvae:
+                mk["use_pose"] = cfg.use_pose
+            else:
+                mk["input_dim"] = 64 * 64
+            self.model = setup_model(cfg.model_name,
+                                     cross_modal=cfg.cross_modal, **mk)
+        self.params = jax.device_put(params)
+        self._aot_cache = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_run(cls, run_dir, parity: bool = False, compute_dtype=None,
+                 checkpoint: Optional[str] = None):
+        """Load <run>/problem.pkl + the latest (or named) checkpoint.
+
+        Unlike cli/evaluate.py this touches neither the dataset nor the
+        optimizer: the checkpoint is restored template-free and only
+        ``params`` are kept.
+        """
+        import orbax.checkpoint as ocp
+
+        from mmdyn_tpu.train.checkpoint import latest_checkpoint
+
+        run_dir = Path(run_dir)
+        cfg = config_from_args(load_run_args(run_dir),
+                               compute_dtype=compute_dtype)
+        ckpt_dir = run_dir / "checkpoint"
+        path = (ckpt_dir / checkpoint if checkpoint
+                else latest_checkpoint(ckpt_dir))
+        if path is None or not Path(path).exists():
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        restored = ocp.StandardCheckpointer().restore(Path(path).absolute())
+        params = restored["state"]["params"]
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, condition_dim=_infer_condition_dim(cfg, params))
+        return cls(cfg, params, parity=parity)
+
+    # ------------------------------------------------------------------
+    # pure prediction cores (one jit cache entry per presence signature)
+
+    def _rngs(self, rng):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        kd, kr = jax.random.split(rng)
+        return {"dropout": kd}, kr
+
+    def _posterior(self, params, inputs, condition, rngs):
+        """Joint PoE posterior over the present modalities (vae.py:126-165)."""
+        model, variables = self.model, {"params": params}
+        mcls = type(model)
+
+        def apply(method, *a, **kw):
+            return model.apply(variables, *a, method=method, rngs=rngs, **kw)
+
+        if not self.cfg.is_mvae:
+            x = inputs["visual" if "visual" in inputs else "tactile"]
+            if self.cfg.model_name.split("-")[0] == "mlp":
+                # vae.py:82-83 view(-1, input_dim): channel planes fold into
+                # the batch axis (see models/vae.py VAE.__call__)
+                x = jnp.reshape(jnp.transpose(x, (0, 3, 1, 2)), (-1, 64 * 64))
+            return apply(mcls.encode, x, condition)
+
+        mus, lvs = [], []
+        if "visual" in inputs:
+            mu, lv = apply(mcls.encode_visual, inputs["visual"], condition)
+            mus.append(mu); lvs.append(lv)
+        if "tactile" in inputs:
+            mu, lv = apply(mcls.encode_tactile, inputs["tactile"], condition)
+            mus.append(mu); lvs.append(lv)
+        if "pose" in inputs:
+            mu, lv = apply(mcls.encode_pose, inputs["pose"])
+            mus.append(mu); lvs.append(lv)
+        mus = [jnp.zeros_like(mus[0])] + mus       # prior expert N(0, I)
+        lvs = [jnp.zeros_like(lvs[0])] + lvs
+        return product_of_experts(jnp.stack(mus), jnp.stack(lvs))
+
+    def _decode(self, params, z, condition, rngs):
+        """Decode z into every output modality; images sigmoided to [0, 1]."""
+        model, variables = self.model, {"params": params}
+        mcls = type(model)
+
+        def apply(method, *a, **kw):
+            return model.apply(variables, *a, method=method, rngs=rngs, **kw)
+
+        def img(logits):
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+        if not self.cfg.is_mvae:
+            out = apply(mcls.decode, z, condition)
+            if self.cfg.model_name.split("-")[0] == "mlp":
+                b = z.shape[0] // 3
+                out = jnp.transpose(jnp.reshape(out, (b, 3, 64, 64)),
+                                    (0, 2, 3, 1))
+            return {self.cfg.input_type: img(out)}
+        preds = {
+            "visual": img(apply(mcls.decode_visual, z, condition)),
+            "tactile": img(apply(mcls.decode_tactile, z, condition)),
+        }
+        if self.cfg.use_pose:
+            preds["pose"] = apply(mcls.decode_pose, z).astype(jnp.float32)
+        return preds
+
+    def _predict_core(self, params, inputs, condition, rng, sample):
+        rngs, k_rep = self._rngs(rng)
+        if self.cfg.problem_type == "regression":
+            out = self.model.apply({"params": params},
+                                   inputs["visual" if "visual" in inputs
+                                          else "tactile"],
+                                   condition, rngs=rngs)
+            return {"pose": out.astype(jnp.float32)}
+        mu, lv = self._posterior(params, inputs, condition, rngs)
+        z = reparametrize(k_rep, mu, lv) if sample else mu
+        preds = self._decode(params, z, condition, rngs)
+        preds["mu"], preds["logvar"] = mu, lv
+        return preds
+
+    @functools.cached_property
+    def _jit_predict(self):
+        # one jitted entry per (modality-presence pytree, shapes, sample flag)
+        # — jax.jit keys its cache on the input pytree structure, so distinct
+        # presence patterns trace separately without bookkeeping here
+        return jax.jit(self._predict_core, static_argnums=(4,))
+
+    @functools.cached_property
+    def _jit_sample(self):
+        def fn(params, rng, n, cond):
+            kz, kd = jax.random.split(rng)
+            z = jax.random.normal(kz, (n, self.cfg.latent_size))
+            return self._decode(params, z, cond, {"dropout": kd})
+
+        return jax.jit(fn, static_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    def _gather(self, visual, tactile, pose):
+        inputs = {}
+        if visual is not None:
+            inputs["visual"] = jnp.asarray(visual)
+        if tactile is not None:
+            inputs["tactile"] = jnp.asarray(tactile)
+        if pose is not None and self.cfg.use_pose:
+            inputs["pose"] = jnp.asarray(pose)
+        if not inputs:
+            raise ValueError("at least one input modality is required")
+        return inputs
+
+    def predict(self, visual=None, tactile=None, pose=None, condition=None,
+                rng=None, sample=False):
+        """One forward prediction from any present modality subset.
+
+        For seq/dyn models this is the resting-state / next-state prediction
+        the problem was trained on; for plain reconstruction it is the
+        autoencoded input; for regression the 7-D pose estimate.
+
+        Images are (B, 64, 64, 3) float in [0, 1]; pose is in the dataset's
+        normalized pose space (min-max constants live with the dataset).
+        Returns a dict of predictions plus the joint posterior (mu, logvar).
+        """
+        inputs = self._gather(visual, tactile, pose)
+        cond = (jnp.asarray(condition)
+                if (condition is not None and self.cfg.conditional) else None)
+        return self._jit_predict(self.params, inputs, cond, rng, bool(sample))
+
+    def encode(self, visual=None, tactile=None, pose=None, condition=None):
+        """Joint posterior (mu, logvar) of the present modalities."""
+        out = self.predict(visual, tactile, pose, condition)
+        return out["mu"], out["logvar"]
+
+    def sample_prior(self, n, rng, condition=None):
+        """Decode n prior samples z ~ N(0, I) (problems.py:548-559)."""
+        if self.cfg.problem_type == "regression":
+            raise ValueError("regression models have no latent space")
+        cond = (jnp.asarray(condition)
+                if (condition is not None and self.cfg.conditional) else None)
+        return self._jit_sample(self.params, rng, int(n), cond)
+
+    # ------------------------------------------------------------------
+    def rollout(self, steps, visual=None, tactile=None, pose=None,
+                condition=None, rng=None, sample=False):
+        """Iterate the one-step predictor closed-loop for ``steps`` steps.
+
+        Each step feeds the predicted modalities back as the next input
+        (images as [0, 1] probabilities — the space the dyn targets live in).
+        Returns a dict of (steps, B, ...) trajectories. New capability: the
+        reference trains one-step dynamics (problems.py:760-803) but has no
+        rollout machinery.
+        """
+        if self.cfg.problem_type == "regression":
+            raise ValueError("rollout needs a generative model (the "
+                             "regressor's pose output cannot be fed back)")
+        inputs = self._gather(visual, tactile, pose)
+        cond = (jnp.asarray(condition)
+                if (condition is not None and self.cfg.conditional) else None)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        presence = tuple(sorted(inputs))
+
+        del presence
+        return self._jit_rollout(self.params, inputs, cond, rng, int(steps),
+                                 bool(sample))
+
+    @functools.cached_property
+    def _jit_rollout(self):
+        def fn(params, init, cond, rng, steps, sample):
+            keep = tuple(sorted(init))
+
+            def step(carry, key):
+                preds = self._predict_core(params, carry, cond, key, sample)
+                nxt = {k: preds[k] for k in keep}
+                return nxt, {k: preds[k] for k in preds
+                             if k in keep or k in ("mu", "logvar")}
+
+            return jax.lax.scan(step, init, jax.random.split(rng, steps))[1]
+
+        return jax.jit(fn, static_argnums=(4, 5))
+
+    # ------------------------------------------------------------------
+    def aot_predict(self, batch_size, modalities=("visual", "tactile"),
+                    conditional=False, sample=False):
+        """Ahead-of-time compile the predictor for a fixed batch size.
+
+        Returns a ``jax.stages.Compiled`` executable of
+        ``(params, inputs, condition, rng) -> predictions`` — no tracing or
+        compile on the serving hot path, stable latency from the first call.
+        """
+        key = (int(batch_size), tuple(sorted(modalities)), bool(conditional),
+               bool(sample))
+        if key in self._aot_cache:
+            return self._aot_cache[key]
+        specs = {}
+        for m in modalities:
+            shape = ((batch_size, POSE_DIM) if m == "pose"
+                     else (batch_size,) + IMAGE_SHAPE)
+            specs[m] = jax.ShapeDtypeStruct(shape, jnp.float32)
+        cond_spec = None
+        if conditional and self.cfg.conditional:
+            cond_spec = jax.ShapeDtypeStruct(
+                (batch_size, self.cfg.condition_dim), jnp.float32)
+        rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        params_spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params)
+
+        @jax.jit
+        def fn(params, inputs, condition, rng):
+            return self._predict_core(params, inputs, condition, rng, sample)
+
+        compiled = fn.lower(params_spec, specs, cond_spec, rng_spec).compile()
+        self._aot_cache[key] = compiled
+        return compiled

@@ -1,0 +1,263 @@
+"""Serving/deployment path: InferenceSession, rollout, AOT, jax.export.
+
+The reference has no inference story (a run can only be reattached inside the
+training harness, problems.py:68-83); these tests pin the new capability:
+deterministic predictions, modality-subset posteriors, closed-loop rollout,
+AOT executables, run-dir loading without a dataset, and the serialized
+StableHLO artifact roundtrip.
+"""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmdyn_tpu.models.factory import setup_model
+from mmdyn_tpu.problems.base import ProblemConfig, make_optimizer
+from mmdyn_tpu.serve import InferenceSession, export_session, load_exported
+from mmdyn_tpu.serve.session import _infer_condition_dim
+
+
+def _mvae_session(use_pose=True, conditional=False, condition_dim=None,
+                  latent=8, parity=False):
+    cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
+                        input_type="visuotactile", use_pose=use_pose,
+                        conditional=conditional, condition_dim=condition_dim,
+                        latent_size=latent, batchsize=2)
+    model = setup_model(cfg.model_name, cross_modal=True, latent_size=latent,
+                        use_pose=use_pose, architecture="cnn",
+                        conditional=conditional, categorical_conditions=False,
+                        condition_dim=condition_dim,
+                        compute_dtype="float32")
+    img = jnp.zeros((2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "reparam": jax.random.PRNGKey(2)}
+    pose = jnp.zeros((2, 7)) if use_pose else None
+    cond = jnp.zeros((2, condition_dim)) if conditional else None
+    params = model.init(rngs, [img, img], pose, cond)["params"]
+    return InferenceSession(cfg, params, parity=parity)
+
+
+def _img(seed=0, b=2):
+    return jax.random.uniform(jax.random.PRNGKey(seed), (b, 64, 64, 3))
+
+
+class TestPredict:
+    def test_deterministic_and_subset_posteriors(self):
+        s = _mvae_session()
+        v, t = _img(0), _img(1)
+        out1 = s.predict(visual=v)
+        out2 = s.predict(visual=v)
+        for k in out1:  # dropout off + z=mu: bitwise reproducible
+            np.testing.assert_array_equal(out1[k], out2[k])
+        assert set(out1) == {"visual", "tactile", "pose", "mu", "logvar"}
+        assert out1["visual"].shape == (2, 64, 64, 3)
+        assert float(out1["visual"].min()) >= 0.0
+        assert float(out1["visual"].max()) <= 1.0
+
+        joint = s.predict(visual=v, tactile=t, pose=jnp.zeros((2, 7)))
+        # more experts -> tighter posterior (PoE precision adds)
+        assert float(jnp.mean(joint["logvar"])) < float(jnp.mean(out1["logvar"]))
+
+    def test_sample_draws_differ_but_share_posterior(self):
+        s = _mvae_session()
+        v = _img()
+        a = s.predict(visual=v, sample=True, rng=jax.random.PRNGKey(1))
+        b = s.predict(visual=v, sample=True, rng=jax.random.PRNGKey(2))
+        np.testing.assert_allclose(a["mu"], b["mu"], rtol=1e-6)
+        assert not np.allclose(a["visual"], b["visual"])
+
+    def test_parity_mode_keeps_dropout_live(self):
+        s = _mvae_session(parity=True)
+        v = _img()
+        a = s.predict(visual=v, rng=jax.random.PRNGKey(1))
+        b = s.predict(visual=v, rng=jax.random.PRNGKey(2))
+        assert not np.allclose(a["mu"], b["mu"])
+
+    def test_encode_matches_predict(self):
+        s = _mvae_session(use_pose=False)
+        v, t = _img(0), _img(1)
+        mu, lv = s.encode(visual=v, tactile=t)
+        out = s.predict(visual=v, tactile=t)
+        np.testing.assert_allclose(mu, out["mu"], rtol=1e-6)
+        np.testing.assert_allclose(lv, out["logvar"], rtol=1e-6)
+
+    def test_vae_and_regressor_paths(self):
+        for name, ptype in (("cnn-vae", "seq_modeling"),
+                            ("mlp-vae", "reconstruction"),
+                            ("regressor", "regression")):
+            cfg = ProblemConfig(problem_type=ptype, model_name=name,
+                                input_type="visual", latent_size=8,
+                                batchsize=2)
+            arch = name.split("-")[0]
+            if ptype == "regression":
+                model = setup_model(name, out_dim=7, conditional=False,
+                                    condition_dim=None,
+                                    compute_dtype="float32")
+            else:
+                model = setup_model(name, cross_modal=False, latent_size=8,
+                                    architecture=arch, conditional=False,
+                                    categorical_conditions=False,
+                                    condition_dim=None, input_dim=64 * 64,
+                                    compute_dtype="float32")
+            rngs = {"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1),
+                    "reparam": jax.random.PRNGKey(2)}
+            params = model.init(rngs, jnp.zeros((2, 64, 64, 3)), None)["params"]
+            s = InferenceSession(cfg, params)
+            out = s.predict(visual=_img())
+            if ptype == "regression":
+                assert out["pose"].shape == (2, 7)
+            else:
+                assert out["visual"].shape == (2, 64, 64, 3)
+
+    def test_conditional_condition_threads(self):
+        s = _mvae_session(use_pose=False, conditional=True, condition_dim=3)
+        v = _img()
+        a = s.predict(visual=v, condition=jnp.zeros((2, 3)))
+        b = s.predict(visual=v, condition=jnp.ones((2, 3)))
+        assert not np.allclose(a["mu"], b["mu"])
+        assert _infer_condition_dim(s.cfg, s.params) == 3
+
+    def test_requires_some_modality(self):
+        s = _mvae_session()
+        with pytest.raises(ValueError):
+            s.predict()
+
+
+class TestRollout:
+    def test_shapes_and_first_step_matches_predict(self):
+        s = _mvae_session()
+        v, t, p = _img(0), _img(1), jnp.zeros((2, 7))
+        traj = s.rollout(4, visual=v, tactile=t, pose=p)
+        assert traj["visual"].shape == (4, 2, 64, 64, 3)
+        assert traj["pose"].shape == (4, 2, 7)
+        assert np.isfinite(np.asarray(traj["visual"])).all()
+        one = s.predict(visual=v, tactile=t, pose=p)
+        np.testing.assert_allclose(traj["visual"][0], one["visual"],
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_regression_rejected(self):
+        cfg = ProblemConfig(problem_type="regression",
+                            model_name="regressor", input_type="visual",
+                            batchsize=2)
+        model = setup_model("regressor", out_dim=7, conditional=False,
+                            condition_dim=None, compute_dtype="float32")
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}
+        params = model.init(rngs, jnp.zeros((2, 64, 64, 3)), None)["params"]
+        s = InferenceSession(cfg, params)
+        with pytest.raises(ValueError):
+            s.rollout(3, visual=_img())
+
+
+class TestAotAndExport:
+    def test_aot_matches_jit(self):
+        s = _mvae_session(use_pose=False)
+        v, t = _img(0), _img(1)
+        compiled = s.aot_predict(2, ("tactile", "visual"))
+        aout = compiled(s.params, {"visual": v, "tactile": t}, None,
+                        jax.random.PRNGKey(0))
+        live = s.predict(visual=v, tactile=t)
+        np.testing.assert_allclose(np.asarray(aout["visual"]),
+                                   np.asarray(live["visual"]), atol=1e-6)
+        assert s.aot_predict(2, ("tactile", "visual")) is compiled  # cached
+
+    def test_export_roundtrip(self, tmp_path):
+        s = _mvae_session(use_pose=False)
+        manifest = export_session(s, tmp_path / "art", batch_size=2,
+                                  modalities=("visual", "tactile"))
+        assert "cpu" in manifest["platforms"]
+        assert sorted(manifest["modalities"]) == ["tactile", "visual"]
+        pred = load_exported(tmp_path / "art")
+        v, t = _img(0), _img(1)
+        live = s.predict(visual=v, tactile=t)
+        art = pred(visual=v, tactile=t)
+        for k in ("visual", "tactile", "mu"):
+            np.testing.assert_allclose(np.asarray(art[k]),
+                                       np.asarray(live[k]), atol=1e-5)
+        with pytest.raises(ValueError):
+            pred(visual=v)  # missing a manifest modality
+
+    def test_manifest_records_config(self, tmp_path):
+        s = _mvae_session(use_pose=False)
+        export_session(s, tmp_path / "art", batch_size=2,
+                       modalities=("visual", "tactile"))
+        with open(tmp_path / "art" / "manifest.json") as f:
+            manifest = json.load(f)
+        assert manifest["config"]["model_name"] == "cnn-mvae"
+        assert manifest["batch_size"] == 2
+        assert "mu" in manifest["outputs"]
+
+
+class TestFromRun:
+    def _fake_run(self, tmp_path, conditional=False, condition_dim=None):
+        from mmdyn_tpu.train.checkpoint import save_checkpoint
+        from mmdyn_tpu.train.state import create_train_state
+
+        cfg = ProblemConfig(problem_type="seq_modeling",
+                            model_name="cnn-mvae",
+                            input_type="visuotactile", use_pose=True,
+                            conditional=conditional,
+                            condition_dim=condition_dim,
+                            latent_size=8, batchsize=2)
+        model = setup_model(cfg.model_name, cross_modal=True, latent_size=8,
+                            use_pose=True, architecture="cnn",
+                            conditional=conditional,
+                            categorical_conditions=False,
+                            condition_dim=condition_dim,
+                            compute_dtype="float32")
+        img = jnp.zeros((2, 64, 64, 3))
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "reparam": jax.random.PRNGKey(2)}
+        cond = jnp.zeros((2, condition_dim)) if conditional else None
+        params = model.init(rngs, [img, img], jnp.zeros((2, 7)),
+                            cond)["params"]
+        state = create_train_state(params, make_optimizer(cfg))
+
+        run = tmp_path / "run_x"
+        (run / "checkpoint").mkdir(parents=True)
+        saved = {"problem_type": cfg.problem_type,
+                 "model_name": cfg.model_name,
+                 "input_type": cfg.input_type, "use_pose": True,
+                 "conditional": conditional, "mask_loss": False,
+                 "kl_weight": 1.0, "pose_multiplier": 1000.0,
+                 "latent_size": 8, "annealing_epochs": 50, "lr": 1e-3,
+                 "optimizer": "Adam", "batchsize": 2, "num_epochs": 1,
+                 "dataset_path": "unused"}
+        with open(run / "problem.pkl", "wb") as f:
+            pickle.dump(saved, f)
+        save_checkpoint(run / "checkpoint", state, 0, 1.0, name="latest")
+        return run, params
+
+    def test_loads_without_dataset(self, tmp_path):
+        run, params = self._fake_run(tmp_path)
+        s = InferenceSession.from_run(run)
+        a = jax.tree_util.tree_leaves(params)
+        b = jax.tree_util.tree_leaves(s.params)
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+        out = s.predict(visual=_img())
+        assert out["visual"].shape == (2, 64, 64, 3)
+
+    def test_condition_dim_recovered_from_params(self, tmp_path):
+        run, _ = self._fake_run(tmp_path, conditional=True, condition_dim=4)
+        s = InferenceSession.from_run(run)
+        assert s.cfg.condition_dim == 4
+        out = s.predict(visual=_img(), condition=jnp.zeros((2, 4)))
+        assert out["visual"].shape == (2, 64, 64, 3)
+
+    def test_missing_checkpoint_raises(self, tmp_path):
+        run = tmp_path / "empty_run"
+        (run / "checkpoint").mkdir(parents=True)
+        with open(run / "problem.pkl", "wb") as f:
+            pickle.dump({"problem_type": "seq_modeling",
+                         "model_name": "cnn-mvae",
+                         "input_type": "visuotactile"}, f)
+        with pytest.raises(FileNotFoundError):
+            InferenceSession.from_run(run)
