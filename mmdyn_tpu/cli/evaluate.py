@@ -10,7 +10,6 @@ loop the reference lacks:
 
 import argparse
 import json
-import pickle
 from pathlib import Path
 
 
@@ -50,32 +49,12 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from mmdyn_tpu.problems.base import ProblemConfig
     from mmdyn_tpu.train.loop import Problem
+    from mmdyn_tpu.utils.runs import config_from_args, load_run_args
 
     run_dir = Path(args.run)
-    with open(run_dir / "problem.pkl", "rb") as f:
-        saved = pickle.load(f)
-    saved = saved if isinstance(saved, dict) else vars(saved)
-
-    cfg = ProblemConfig(
-        problem_type=saved["problem_type"],
-        model_name=saved["model_name"],
-        input_type=saved["input_type"],
-        use_pose=saved.get("use_pose", False),
-        conditional=saved.get("conditional", False),
-        mask_loss=saved.get("mask_loss", False),
-        kl_weight=saved.get("kl_weight", 1.0),
-        pose_multiplier=saved.get("pose_multiplier", 1000.0),
-        latent_size=saved.get("latent_size", 256),
-        annealing_epochs=saved.get("annealing_epochs", 50),
-        lr=saved.get("lr", 1e-3),
-        optimizer=saved.get("optimizer", "Adam"),
-        batchsize=args.batchsize or saved.get("batchsize", 128),
-        num_epochs=0,
-        compute_dtype=("bfloat16_full" if saved.get("bf16_full")
-                       else "bfloat16" if saved.get("bf16") else "float32"),
-    )
+    saved = load_run_args(run_dir)
+    cfg = config_from_args(saved, batchsize=args.batchsize)
     dataset_path = args.dataset_path or saved["dataset_path"]
 
     problem = Problem(cfg, dataset_path, log_dir=str(run_dir), seed=args.seed,
