@@ -87,8 +87,9 @@ def _save_images(out_dir, name, arr):
     from PIL import Image
 
     for i, img in enumerate(np.asarray(arr)):
-        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
-            Path(out_dir) / f"{name}_{i:04d}.png")
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img).save(Path(out_dir) / f"{name}_{i:04d}.png")
 
 
 def main(argv=None):
@@ -134,7 +135,9 @@ def main(argv=None):
         init = {m: v[:1] for m, v in frames.items()}
         t0 = time.perf_counter()
         traj = session.rollout(args.rollout, **init, sample=args.sample)
-        jax.block_until_ready(traj)
+        # host readback is the sync (block_until_ready returns early through
+        # the tunneled-TPU dispatch path)
+        traj = jax.device_get(traj)
         dt = time.perf_counter() - t0
         for m in modalities:
             _save_images(out_dir, f"rollout_{m}", traj[m][:, 0])
@@ -152,11 +155,14 @@ def main(argv=None):
                 batch = {m: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                          for m, v in batch.items()}
             t0 = time.perf_counter()
-            out = session.predict(**batch, sample=args.sample)
-            jax.block_until_ready(out)
+            # uint8 image payloads (quantized on device) + one batched
+            # device_get: both matter through the tunnel's host<->device link
+            out = session.predict(**batch, sample=args.sample,
+                                  uint8_images=not regression)
+            arrs = jax.device_get({k: out[k] for k in out_keys})
             lat.append(time.perf_counter() - t0)
             for k in out_keys:
-                arr = np.asarray(out[k])
+                arr = arrs[k]
                 preds[k].append(arr[:len(arr) - pad] if pad else arr)
         if regression:
             poses = np.concatenate(preds["pose"])

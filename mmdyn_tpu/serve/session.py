@@ -161,8 +161,10 @@ class InferenceSession:
         lvs = [jnp.zeros_like(lvs[0])] + lvs
         return product_of_experts(jnp.stack(mus), jnp.stack(lvs))
 
-    def _decode(self, params, z, condition, rngs):
-        """Decode z into every output modality; images sigmoided to [0, 1]."""
+    def _decode(self, params, z, condition, rngs, uint8_images=False):
+        """Decode z into every output modality; images sigmoided to [0, 1]
+        (or quantized to uint8 on device — a 4x smaller serving payload,
+        which matters through the tunnel's host<->device link)."""
         model, variables = self.model, {"params": params}
         mcls = type(model)
 
@@ -170,7 +172,10 @@ class InferenceSession:
             return model.apply(variables, *a, method=method, rngs=rngs, **kw)
 
         def img(logits):
-            return jax.nn.sigmoid(logits.astype(jnp.float32))
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+            if uint8_images:
+                return jnp.round(probs * 255.0).astype(jnp.uint8)
+            return probs
 
         if not self.cfg.is_mvae:
             out = apply(mcls.decode, z, condition)
@@ -187,7 +192,8 @@ class InferenceSession:
             preds["pose"] = apply(mcls.decode_pose, z).astype(jnp.float32)
         return preds
 
-    def _predict_core(self, params, inputs, condition, rng, sample):
+    def _predict_core(self, params, inputs, condition, rng, sample,
+                      uint8_images=False):
         rngs, k_rep = self._rngs(rng)
         if self.cfg.problem_type == "regression":
             out = self.model.apply({"params": params},
@@ -197,7 +203,8 @@ class InferenceSession:
             return {"pose": out.astype(jnp.float32)}
         mu, lv = self._posterior(params, inputs, condition, rngs)
         z = reparametrize(k_rep, mu, lv) if sample else mu
-        preds = self._decode(params, z, condition, rngs)
+        preds = self._decode(params, z, condition, rngs,
+                             uint8_images=uint8_images)
         preds["mu"], preds["logvar"] = mu, lv
         return preds
 
@@ -206,7 +213,7 @@ class InferenceSession:
         # one jitted entry per (modality-presence pytree, shapes, sample flag)
         # — jax.jit keys its cache on the input pytree structure, so distinct
         # presence patterns trace separately without bookkeeping here
-        return jax.jit(self._predict_core, static_argnums=(4,))
+        return jax.jit(self._predict_core, static_argnums=(4, 5))
 
     @functools.cached_property
     def _jit_sample(self):
@@ -231,21 +238,24 @@ class InferenceSession:
         return inputs
 
     def predict(self, visual=None, tactile=None, pose=None, condition=None,
-                rng=None, sample=False):
+                rng=None, sample=False, uint8_images=False):
         """One forward prediction from any present modality subset.
 
         For seq/dyn models this is the resting-state / next-state prediction
         the problem was trained on; for plain reconstruction it is the
         autoencoded input; for regression the 7-D pose estimate.
 
-        Images are (B, 64, 64, 3) float in [0, 1]; pose is in the dataset's
-        normalized pose space (min-max constants live with the dataset).
-        Returns a dict of predictions plus the joint posterior (mu, logvar).
+        Images are (B, 64, 64, 3) float in [0, 1] (uint8 0-255 with
+        ``uint8_images=True`` — quantized on device, 4x smaller readback);
+        pose is in the dataset's normalized pose space (min-max constants
+        live with the dataset). Returns a dict of predictions plus the joint
+        posterior (mu, logvar).
         """
         inputs = self._gather(visual, tactile, pose)
         cond = (jnp.asarray(condition)
                 if (condition is not None and self.cfg.conditional) else None)
-        return self._jit_predict(self.params, inputs, cond, rng, bool(sample))
+        return self._jit_predict(self.params, inputs, cond, rng, bool(sample),
+                                 bool(uint8_images))
 
     def encode(self, visual=None, tactile=None, pose=None, condition=None):
         """Joint posterior (mu, logvar) of the present modalities."""
@@ -279,9 +289,6 @@ class InferenceSession:
                 if (condition is not None and self.cfg.conditional) else None)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        presence = tuple(sorted(inputs))
-
-        del presence
         return self._jit_rollout(self.params, inputs, cond, rng, int(steps),
                                  bool(sample))
 
@@ -302,7 +309,7 @@ class InferenceSession:
 
     # ------------------------------------------------------------------
     def aot_predict(self, batch_size, modalities=("visual", "tactile"),
-                    conditional=False, sample=False):
+                    conditional=False, sample=False, uint8_images=False):
         """Ahead-of-time compile the predictor for a fixed batch size.
 
         Returns a ``jax.stages.Compiled`` executable of
@@ -310,7 +317,7 @@ class InferenceSession:
         compile on the serving hot path, stable latency from the first call.
         """
         key = (int(batch_size), tuple(sorted(modalities)), bool(conditional),
-               bool(sample))
+               bool(sample), bool(uint8_images))
         if key in self._aot_cache:
             return self._aot_cache[key]
         specs = {}
@@ -328,7 +335,8 @@ class InferenceSession:
 
         @jax.jit
         def fn(params, inputs, condition, rng):
-            return self._predict_core(params, inputs, condition, rng, sample)
+            return self._predict_core(params, inputs, condition, rng, sample,
+                                      uint8_images)
 
         compiled = fn.lower(params_spec, specs, cond_spec, rng_spec).compile()
         self._aot_cache[key] = compiled

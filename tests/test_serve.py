@@ -124,6 +124,17 @@ class TestPredict:
         assert not np.allclose(a["mu"], b["mu"])
         assert _infer_condition_dim(s.cfg, s.params) == 3
 
+    def test_uint8_payload_matches_float(self):
+        s = _mvae_session(use_pose=False)
+        v = _img()
+        f = s.predict(visual=v)
+        q = s.predict(visual=v, uint8_images=True)
+        assert q["visual"].dtype == jnp.uint8
+        np.testing.assert_array_equal(
+            np.asarray(q["visual"]),
+            np.round(np.asarray(f["visual"]) * 255).astype(np.uint8))
+        np.testing.assert_allclose(q["mu"], f["mu"], rtol=1e-6)
+
     def test_requires_some_modality(self):
         s = _mvae_session()
         with pytest.raises(ValueError):

@@ -2,12 +2,18 @@
 
 Measures the InferenceSession AOT predictor across batch sizes:
 
-* round-trip latency: one predict + block per call (includes the host<->device
-  hop; on the tunneled chip that hop alone is ~18 ms, CLAUDE.md);
-* pipelined throughput: many async dispatches, one sync — what a saturated
-  serving loop sees (dispatch latency hides behind compute);
+* round-trip latency: dispatch + full host readback of the predictions per
+  call — what one serving request experiences (on the tunneled chip the
+  host<->device hop alone is ~18 ms);
+* pipelined throughput: N async dispatches, then one tiny readback of the
+  LAST call's output — the device executes launches in order, so this bounds
+  all N steps with a single sync (dispatch latency hides behind compute);
 * rollout throughput: closed-loop dynamics steps/s (lax.scan on device, one
   dispatch regardless of horizon).
+
+NOTE: jax.block_until_ready returns early through the axon tunnel (async
+completion is decoupled from data availability); every sync here is a host
+readback, which is also the honest serving semantics.
 
 Usage:
     python tools/bench_infer.py [--run logs/run_...] [--batch-sizes 1,8,64,256]
@@ -85,46 +91,59 @@ def main(argv=None):
         modalities.append("pose")
     key = jax.random.PRNGKey(0)
 
-    for bs in [int(b) for b in args.batch_sizes.split(",")]:
-        compiled = session.aot_predict(bs, tuple(modalities))
-        inputs = {m: (jax.random.uniform(jax.random.fold_in(key, i), (bs, 7))
-                      if m == "pose" else
-                      jax.random.uniform(jax.random.fold_in(key, i),
-                                         (bs, 64, 64, 3)))
-                  for i, m in enumerate(modalities)}
+    def measure(compiled, inputs):
         run = lambda: compiled(session.params, inputs, None, key)
-        for _ in range(args.warmup):
-            jax.block_until_ready(run())
 
+        def sync(out):
+            # block_until_ready is not a real barrier through the tunnel —
+            # only materialising a value is
+            return float(jax.numpy.sum(out["mu"]))
+
+        for _ in range(args.warmup):
+            sync(run())
         lat = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(run())
+            jax.device_get(run())   # full-payload readback (one batched RPC)
             lat.append((time.perf_counter() - t0) * 1e3)
         lat.sort()
         p50 = statistics.median(lat)
         p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
 
         t0 = time.perf_counter()
-        outs = [run() for _ in range(args.iters)]
-        jax.block_until_ready(outs)
+        out = None
+        for _ in range(args.iters):
+            out = run()
+        sync(out)                   # in-order execution: syncs all iters
         pipelined = (time.perf_counter() - t0) / args.iters
+        return p50, p95, pipelined
 
-        print(json.dumps({
-            "metric": "serving latency", "batch": bs,
-            "p50_ms": round(p50, 3), "p95_ms": round(p95, 3),
-            "pipelined_ms": round(pipelined * 1e3, 3),
-            "frames_per_s": round(bs / pipelined, 1),
-        }))
+    for bs in [int(b) for b in args.batch_sizes.split(",")]:
+        inputs = {m: (jax.random.uniform(jax.random.fold_in(key, i), (bs, 7))
+                      if m == "pose" else
+                      jax.random.uniform(jax.random.fold_in(key, i),
+                                         (bs, 64, 64, 3)))
+                  for i, m in enumerate(modalities)}
+        row = {"metric": "serving latency", "batch": bs}
+        for tag, u8 in (("f32", False), ("uint8", True)):
+            compiled = session.aot_predict(bs, tuple(modalities),
+                                           uint8_images=u8)
+            p50, p95, pipelined = measure(compiled, inputs)
+            row[f"p50_ms_{tag}"] = round(p50, 3)
+            row[f"p95_ms_{tag}"] = round(p95, 3)
+            if u8:
+                row["pipelined_ms"] = round(pipelined * 1e3, 3)
+                row["frames_per_s"] = round(bs / pipelined, 1)
+        print(json.dumps(row))
 
     if args.rollout and cfg.problem_type != "regression":
-        init = {m: v[:1] if m != "pose" else v[:1]
-                for m, v in inputs.items()}
+        init = {m: v[:1] for m, v in inputs.items()}
         traj = session.rollout(args.rollout, **init)   # compile
-        jax.block_until_ready(traj)
+        float(traj["mu"][-1, 0, 0])
         t0 = time.perf_counter()
         for _ in range(5):
-            jax.block_until_ready(session.rollout(args.rollout, **init))
+            traj = session.rollout(args.rollout, **init)
+            float(traj["mu"][-1, 0, 0])
         dt = (time.perf_counter() - t0) / 5
         print(json.dumps({
             "metric": "rollout", "horizon": args.rollout, "batch": 1,
