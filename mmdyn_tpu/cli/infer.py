@@ -44,6 +44,9 @@ def build_parser():
                    help="write a jax.export deployment artifact here")
     p.add_argument("--checkpoint", default=None, type=str,
                    help="checkpoint name under <run>/checkpoint (default: latest)")
+    p.add_argument("--num-devices", default=0, type=int,
+                   help="data-parallel serving over this many devices "
+                        "(0 = single; batch shards across the mesh)")
     p.add_argument("--platform", default=None, type=str)
     return p
 
@@ -103,10 +106,12 @@ def main(argv=None):
     maybe_enable()
     import numpy as np
 
+    from mmdyn_tpu.parallel.mesh import make_mesh
     from mmdyn_tpu.serve import InferenceSession, export_session
 
+    mesh = make_mesh(args.num_devices) if args.num_devices else None
     session = InferenceSession.from_run(args.run, parity=args.parity,
-                                        checkpoint=args.checkpoint)
+                                        checkpoint=args.checkpoint, mesh=mesh)
     cfg = session.cfg
     modalities = (("visual", "tactile") if cfg.cross_modal
                   else (cfg.input_type,))

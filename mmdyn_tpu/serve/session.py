@@ -38,6 +38,7 @@ import numpy as np
 
 from mmdyn_tpu.models.factory import setup_model
 from mmdyn_tpu.ops.poe import product_of_experts, reparametrize
+from mmdyn_tpu.parallel.mesh import batch_sharding, replicate, shard_batch
 from mmdyn_tpu.problems.base import ProblemConfig
 from mmdyn_tpu.utils.runs import config_from_args, load_run_args
 
@@ -68,9 +69,12 @@ def _infer_condition_dim(cfg: ProblemConfig, params) -> Optional[int]:
 class InferenceSession:
     """Deterministic (by default) forward-only access to a trained model."""
 
-    def __init__(self, cfg: ProblemConfig, params, parity: bool = False):
+    def __init__(self, cfg: ProblemConfig, params, parity: bool = False,
+                 mesh=None):
         self.cfg = cfg
         self.parity = parity
+        self.mesh = mesh  # data-parallel serving: batch sharded, params
+                          # replicated; the same jitted program runs SPMD
         kwargs = {} if parity else {"dropout_rate": 0.0}
         if cfg.problem_type == "regression":
             self.model = setup_model(cfg.model_name, out_dim=POSE_DIM,
@@ -90,13 +94,14 @@ class InferenceSession:
                 mk["input_dim"] = 64 * 64
             self.model = setup_model(cfg.model_name,
                                      cross_modal=cfg.cross_modal, **mk)
-        self.params = jax.device_put(params)
+        self.params = (replicate(mesh, params) if mesh is not None
+                       else jax.device_put(params))
         self._aot_cache = {}
 
     # ------------------------------------------------------------------
     @classmethod
     def from_run(cls, run_dir, parity: bool = False, compute_dtype=None,
-                 checkpoint: Optional[str] = None):
+                 checkpoint: Optional[str] = None, mesh=None):
         """Load <run>/problem.pkl + the latest (or named) checkpoint.
 
         Unlike cli/evaluate.py this touches neither the dataset nor the
@@ -120,7 +125,7 @@ class InferenceSession:
         import dataclasses
         cfg = dataclasses.replace(
             cfg, condition_dim=_infer_condition_dim(cfg, params))
-        return cls(cfg, params, parity=parity)
+        return cls(cfg, params, parity=parity, mesh=mesh)
 
     # ------------------------------------------------------------------
     # pure prediction cores (one jit cache entry per presence signature)
@@ -235,6 +240,10 @@ class InferenceSession:
             inputs["pose"] = jnp.asarray(pose)
         if not inputs:
             raise ValueError("at least one input modality is required")
+        if self.mesh is not None:
+            # shard the serving batch across the mesh; jit picks the layout
+            # up from the inputs and runs the program SPMD
+            inputs = shard_batch(self.mesh, inputs)
         return inputs
 
     def predict(self, visual=None, tactile=None, pose=None, condition=None,
@@ -320,11 +329,14 @@ class InferenceSession:
                bool(sample), bool(uint8_images))
         if key in self._aot_cache:
             return self._aot_cache[key]
+        in_sharding = (batch_sharding(self.mesh)
+                       if self.mesh is not None else None)
         specs = {}
         for m in modalities:
             shape = ((batch_size, POSE_DIM) if m == "pose"
                      else (batch_size,) + IMAGE_SHAPE)
-            specs[m] = jax.ShapeDtypeStruct(shape, jnp.float32)
+            specs[m] = jax.ShapeDtypeStruct(shape, jnp.float32,
+                                            sharding=in_sharding)
         cond_spec = None
         if conditional and self.cfg.conditional:
             cond_spec = jax.ShapeDtypeStruct(

@@ -141,6 +141,45 @@ class TestPredict:
             s.predict()
 
 
+class TestMeshServing:
+    def test_sharded_predict_matches_single_device(self):
+        from mmdyn_tpu.parallel.mesh import make_mesh
+
+        cfg = ProblemConfig(problem_type="seq_modeling",
+                            model_name="cnn-mvae",
+                            input_type="visuotactile", use_pose=True,
+                            latent_size=8, batchsize=16)
+        model = setup_model(cfg.model_name, cross_modal=True, latent_size=8,
+                            use_pose=True, architecture="cnn",
+                            conditional=False, categorical_conditions=False,
+                            condition_dim=None, compute_dtype="float32")
+        img = jnp.zeros((2, 64, 64, 3))
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "reparam": jax.random.PRNGKey(2)}
+        params = model.init(rngs, [img, img], jnp.zeros((2, 7)),
+                            None)["params"]
+        v, t = _img(5, 16), _img(6, 16)
+
+        single = InferenceSession(cfg, params)
+        sharded = InferenceSession(cfg, params, mesh=make_mesh(8))
+        o1 = single.predict(visual=v, tactile=t)
+        o2 = sharded.predict(visual=v, tactile=t)
+        # batch shards span the whole mesh; BatchNorm statistics reduce
+        # globally under SPMD, so results match single-device up to
+        # reduction-order noise
+        assert len(o2["visual"].sharding.device_set) == 8
+        for k in ("mu", "visual", "tactile", "pose"):
+            np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o2[k]),
+                                       atol=1e-5)
+
+        compiled = sharded.aot_predict(16, ("visual", "tactile"))
+        o3 = compiled(sharded.params, {"visual": v, "tactile": t}, None,
+                      jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(o1["visual"]),
+                                   np.asarray(o3["visual"]), atol=1e-5)
+
+
 class TestRollout:
     def test_shapes_and_first_step_matches_predict(self):
         s = _mvae_session()
