@@ -245,6 +245,88 @@ class TestAotAndExport:
         assert "mu" in manifest["outputs"]
 
 
+class TestHttpServing:
+    def _post(self, port, path, arrays):
+        import http.client
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", path, body=buf.getvalue())
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
+        return resp.status, data
+
+    def test_end_to_end_http(self):
+        import http.client
+        import io
+        import json
+        import threading
+
+        from mmdyn_tpu.serve.server import make_server
+
+        s = _mvae_session(use_pose=False, latent=8)
+        server = make_server(s, port=0, batch_size=4)  # port 0: OS-assigned
+        port = server.server_port
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("GET", "/healthz")
+            health = json.loads(conn.getresponse().read())
+            conn.close()
+            assert health["status"] == "ok"
+            assert health["batch_size"] == 4
+
+            v = np.asarray(_img(0, 3))   # 3 < batch 4: pads, truncates back
+            status, data = self._post(port, "/predict", {"visual": v})
+            assert status == 200
+            out = np.load(io.BytesIO(data))
+            assert out["visual"].shape == (3, 64, 64, 3)
+            assert out["visual"].dtype == np.uint8
+            assert out["mu"].shape == (3, 8)
+            # the app pads 3 -> 4 before predicting (fixed serving shape);
+            # batch-stat BatchNorm makes the result a function of the padded
+            # batch, so compare against the padded reference
+            vp = np.concatenate([v, v[-1:]])
+            live = s.predict(visual=vp, uint8_images=True)
+            np.testing.assert_array_equal(out["visual"],
+                                          np.asarray(live["visual"])[:3])
+
+            status, data = self._post(port, "/rollout?steps=3",
+                                      {"visual": v[:1], "tactile": v[:1]})
+            assert status == 200
+            traj = np.load(io.BytesIO(data))
+            assert traj["visual"].shape == (3, 1, 64, 64, 3)
+
+            status, data = self._post(port, "/predict",
+                                      {"bogus": np.zeros((2, 2))})
+            assert status == 400
+            status, data = self._post(port, "/predict",
+                                      {"visual": np.asarray(_img(0, 9))})
+            assert status == 400  # exceeds serving batch
+        finally:
+            server.shutdown()
+            thread.join(timeout=10)
+
+    def test_uint8_request_payload_accepted(self):
+        from mmdyn_tpu.serve.server import ServingApp
+
+        s = _mvae_session(use_pose=False, latent=8)
+        app = ServingApp(s, batch_size=2)
+        import io
+
+        v8 = (np.asarray(_img(0, 2)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        np.savez(buf, visual=v8)
+        out = np.load(io.BytesIO(app.predict(buf.getvalue())))
+        ref = s.predict(visual=v8.astype(np.float32) / 255.0,
+                        uint8_images=True)
+        np.testing.assert_array_equal(out["visual"], np.asarray(ref["visual"]))
+
+
 class TestFromRun:
     def _fake_run(self, tmp_path, conditional=False, condition_dim=None):
         from mmdyn_tpu.train.checkpoint import save_checkpoint
