@@ -184,6 +184,9 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip-dyn", action="store_true",
                     help="skip the secondary dyn_modeling measurement")
+    ap.add_argument("--skip-serving", action="store_true",
+                    help="skip the serving-latency measurement")
+    ap.add_argument("--serve-batch", type=int, default=256)
     ap.add_argument("--dyn-batch", type=int, default=256)
     ap.add_argument("--dyn-seq-len", type=int, default=8)
     args = ap.parse_args()
@@ -221,6 +224,49 @@ def main():
               f"batch {args.dyn_batch}x{args.dyn_seq_len})", file=sys.stderr)
         result["dyn_frames_per_sec"] = round(dfps, 2)
         result["dyn_ms_per_step"] = round(dstep * 1e3, 3)
+
+    # serving: AOT predictor of the same flagship model — batch-1 round trip
+    # (dispatch + full device_get) and pipelined device step at the serving
+    # batch (in-order dispatches, one readback); see tools/bench_infer.py
+    if not args.skip_serving:
+        import jax
+        import jax.numpy as jnp
+        from mmdyn_tpu.problems.base import ProblemConfig
+        from mmdyn_tpu.serve import InferenceSession
+
+        cfg, model, state, _, _, _ = build_train_setup(
+            batch=2, latent=args.latent, compute_dtype=dtype)
+        sess = InferenceSession(cfg, state.params)
+        mods = ("pose", "tactile", "visual")
+        key = jax.random.PRNGKey(0)
+
+        def serve_inputs(b):
+            return {m: jax.random.uniform(key, (b, 7) if m == "pose"
+                                          else (b, 64, 64, 3)) for m in mods}
+
+        c1 = sess.aot_predict(1, mods, uint8_images=True)
+        in1 = serve_inputs(1)
+        jax.device_get(c1(sess.params, in1, None, key))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            jax.device_get(c1(sess.params, in1, None, key))
+        rtt = (time.perf_counter() - t0) / 10
+
+        cb = sess.aot_predict(args.serve_batch, mods, uint8_images=True)
+        inb = serve_inputs(args.serve_batch)
+        out = cb(sess.params, inb, None, key)
+        float(jnp.sum(out["mu"]))
+        t0 = time.perf_counter()
+        for _ in range(30):
+            out = cb(sess.params, inb, None, key)
+        float(jnp.sum(out["mu"]))   # in-order execution: one sync for all
+        pipe = (time.perf_counter() - t0) / 30
+        print(f"# jax serving: batch-1 rtt {rtt*1e3:.1f} ms, batch "
+              f"{args.serve_batch} pipelined {pipe*1e3:.2f} ms "
+              f"({args.serve_batch/pipe:.0f} frames/s)", file=sys.stderr)
+        result["serving_batch1_rtt_ms"] = round(rtt * 1e3, 2)
+        result["serving_pipelined_ms"] = round(pipe * 1e3, 3)
+        result["serving_frames_per_sec"] = round(args.serve_batch / pipe, 1)
 
     if not args.skip_torch:
         tfps, tstep = bench_torch_cpu(args.torch_batch, args.torch_steps,
