@@ -246,19 +246,19 @@ def main():
 
         c1 = sess.aot_predict(1, mods, uint8_images=True)
         in1 = serve_inputs(1)
-        jax.device_get(c1(sess.params, in1, None, key))
+        jax.device_get(c1(sess.variables, in1, None, key))
         t0 = time.perf_counter()
         for _ in range(10):
-            jax.device_get(c1(sess.params, in1, None, key))
+            jax.device_get(c1(sess.variables, in1, None, key))
         rtt = (time.perf_counter() - t0) / 10
 
         cb = sess.aot_predict(args.serve_batch, mods, uint8_images=True)
         inb = serve_inputs(args.serve_batch)
-        out = cb(sess.params, inb, None, key)
+        out = cb(sess.variables, inb, None, key)
         float(jnp.sum(out["mu"]))
         t0 = time.perf_counter()
         for _ in range(30):
-            out = cb(sess.params, inb, None, key)
+            out = cb(sess.variables, inb, None, key)
         float(jnp.sum(out["mu"]))   # in-order execution: one sync for all
         pipe = (time.perf_counter() - t0) / 30
         print(f"# jax serving: batch-1 rtt {rtt*1e3:.1f} ms, batch "

@@ -44,6 +44,9 @@ def build_parser():
                    help="write a jax.export deployment artifact here")
     p.add_argument("--checkpoint", default=None, type=str,
                    help="checkpoint name under <run>/checkpoint (default: latest)")
+    p.add_argument("--calibrate", default=None, type=str,
+                   help="sequence dump dir; freeze BatchNorm statistics on "
+                        "these frames before predicting")
     p.add_argument("--num-devices", default=0, type=int,
                    help="data-parallel serving over this many devices "
                         "(0 = single; batch shards across the mesh)")
@@ -115,6 +118,9 @@ def main(argv=None):
     cfg = session.cfg
     modalities = (("visual", "tactile") if cfg.cross_modal
                   else (cfg.input_type,))
+    if args.calibrate:
+        session = session.freeze_bn(**_load_frames(args.calibrate,
+                                                   modalities))
 
     if args.export:
         manifest = export_session(session, args.export,

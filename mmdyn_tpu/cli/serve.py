@@ -31,6 +31,9 @@ def build_parser():
     p.add_argument("--parity", action="store_true", default=False)
     p.add_argument("--checkpoint", default=None, type=str)
     p.add_argument("--num-devices", default=0, type=int)
+    p.add_argument("--calibrate", default=None, type=str,
+                   help="sequence dump dir; freezes BatchNorm statistics on "
+                        "these frames (per-example deterministic serving)")
     p.add_argument("--platform", default=None, type=str)
     return p
 
@@ -52,6 +55,14 @@ def main(argv=None):
     mesh = make_mesh(args.num_devices) if args.num_devices else None
     session = InferenceSession.from_run(args.run, parity=args.parity,
                                         checkpoint=args.checkpoint, mesh=mesh)
+    if args.calibrate:
+        from mmdyn_tpu.cli.infer import _load_frames
+        mods = (("visual", "tactile") if session.cfg.cross_modal
+                else (session.cfg.input_type,))
+        frames = _load_frames(args.calibrate, mods)
+        session = session.freeze_bn(**frames)
+        print(f"froze BatchNorm statistics on "
+              f"{len(next(iter(frames.values())))} calibration frames")
     server = make_server(session, host=args.host, port=args.port,
                          batch_size=args.batchsize)
     print(f"serving {args.run} on http://{args.host}:{server.server_port} "

@@ -126,18 +126,52 @@ class TrainBatchNorm(nn.Module):
     ``MMDYN_BN_NOSTATS=1`` is a PERF-ONLY ablation (wrong numerics!) that
     replaces the statistics with constants, bounding from above what any
     stats-fusion kernel could save (docs/PARITY.md).
+
+    ``mode`` (serving-side knob; training always uses the default):
+      * ``"batch"``   — current-batch statistics (reference semantics).
+      * ``"collect"`` — batch statistics, additionally written to a
+        ``bn_stats`` variable collection (apply with
+        ``mutable=["bn_stats"]``) so a calibration pass can capture them.
+      * ``"frozen"``  — normalise with statistics read from ``bn_stats``:
+        per-example deterministic, batch-composition independent (and
+        reduction-free — cheaper than batch mode). Used by
+        ``serve.InferenceSession.freeze_bn``.
     """
 
     eps: float = BN_EPS
+    mode: str = "batch"
 
     @nn.compact
     def __call__(self, x):
         import os
 
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.mode == "frozen":
+            mean = self.variable("bn_stats", "mean",
+                                 lambda: jnp.zeros((c,), jnp.float32)).value
+            var = self.variable("bn_stats", "var",
+                                lambda: jnp.ones((c,), jnp.float32)).value
+            inv = jax.lax.rsqrt(var + self.eps)
+            return ((x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+                    * scale.astype(x.dtype) + bias.astype(x.dtype))
+        if self.mode == "collect":
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            mv = self.variable("bn_stats", "mean",
+                               lambda: jnp.zeros((c,), jnp.float32))
+            vv = self.variable("bn_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+            if not self.is_initializing():
+                mv.value, vv.value = mean, var
+            inv = jax.lax.rsqrt(var + self.eps)
+            return ((x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+                    * scale.astype(x.dtype) + bias.astype(x.dtype))
         if os.environ.get("MMDYN_BN_NOSTATS") == "1":
-            inv = jax.lax.rsqrt(jnp.ones((x.shape[-1],), jnp.float32) + self.eps)
+            inv = jax.lax.rsqrt(jnp.ones((c,), jnp.float32) + self.eps)
             return (x * inv.astype(x.dtype) * scale.astype(x.dtype)
                     + bias.astype(x.dtype))
         mode = os.environ.get("MMDYN_BN_VJP", "auto")

@@ -23,24 +23,26 @@ class Regressor(nn.Module):
     condition_dim: Optional[int] = None
     dropout_rate: float = DROPOUT_RATE
     compute_dtype: str = "float32"
+    bn_mode: str = "batch"   # serving knob; see layers.TrainBatchNorm
 
     @nn.compact
     def __call__(self, x, c=None):
         dt = self.compute_dtype
+        bn = self.bn_mode
         x = Conv2d(32, 4, 2, 1, use_bias=False, name="conv_0",
                    compute_dtype=dt)(x)
         x = swish(x)
         x = Conv2d(64, 4, 2, 1, use_bias=False, name="conv_1",
                    compute_dtype=dt)(x)
-        x = TrainBatchNorm(name="bn_1")(x)
+        x = TrainBatchNorm(name="bn_1", mode=bn)(x)
         x = swish(x)
         x = Conv2d(128, 4, 2, 1, use_bias=False, name="conv_2",
                    compute_dtype=dt)(x)
-        x = TrainBatchNorm(name="bn_2")(x)
+        x = TrainBatchNorm(name="bn_2", mode=bn)(x)
         x = swish(x)
         x = Conv2d(256, 4, 1, 0, use_bias=False, name="conv_3",
                    compute_dtype=dt)(x)
-        x = TrainBatchNorm(name="bn_3")(x)
+        x = TrainBatchNorm(name="bn_3", mode=bn)(x)
         x = swish(x)
         x = jnp.reshape(x, (x.shape[0], -1))
         x = Dense(512, name="fc", compute_dtype=dt)(x)

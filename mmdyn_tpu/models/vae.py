@@ -78,25 +78,27 @@ class Encoder(nn.Module):
     condition_dim: Optional[int] = None
     dropout_rate: float = DROPOUT_RATE
     compute_dtype: str = "float32"
+    bn_mode: str = "batch"   # serving knob; see layers.TrainBatchNorm
 
     @nn.compact
     def __call__(self, x, c=None):
         dt = self.compute_dtype
+        bn = self.bn_mode
         if self.architecture == "cnn":
             x = Conv2d(32, 4, 2, 1, use_bias=False, name="conv_0",
                        compute_dtype=dt)(x)
             x = swish(x)
             x = Conv2d(64, 4, 2, 1, use_bias=False, name="conv_1",
                        compute_dtype=dt)(x)
-            x = TrainBatchNorm(name="bn_1")(x)
+            x = TrainBatchNorm(name="bn_1", mode=bn)(x)
             x = swish(x)
             x = Conv2d(128, 4, 2, 1, use_bias=False, name="conv_2",
                        compute_dtype=dt)(x)
-            x = TrainBatchNorm(name="bn_2")(x)
+            x = TrainBatchNorm(name="bn_2", mode=bn)(x)
             x = swish(x)
             x = Conv2d(256, 4, 1, 0, use_bias=False, name="conv_3",
                        compute_dtype=dt)(x)
-            x = TrainBatchNorm(name="bn_3")(x)
+            x = TrainBatchNorm(name="bn_3", mode=bn)(x)
             x = swish(x)
             x = jnp.reshape(x, (x.shape[0], -1))  # (B, 5*5*256)
             x = Dense(512, name="fc", compute_dtype=dt)(x)
@@ -131,10 +133,12 @@ class Decoder(nn.Module):
     categorical_conditions: bool = False
     condition_dim: Optional[int] = None
     compute_dtype: str = "float32"
+    bn_mode: str = "batch"   # serving knob; see layers.TrainBatchNorm
 
     @nn.compact
     def __call__(self, z, c=None):
         dt = self.compute_dtype
+        bn = self.bn_mode
         if self.conditional:
             z = _concat_condition(z, c, self.categorical_conditions, self.condition_dim)
 
@@ -144,15 +148,15 @@ class Decoder(nn.Module):
             h = jnp.reshape(h, (h.shape[0], 5, 5, 256))
             h = ConvTranspose2d(128, 4, 1, 0, use_bias=False, name="deconv_0",
                                 compute_dtype=dt)(h)
-            h = TrainBatchNorm(name="bn_0")(h)
+            h = TrainBatchNorm(name="bn_0", mode=bn)(h)
             h = swish(h)
             h = ConvTranspose2d(64, 4, 2, 1, use_bias=False, name="deconv_1",
                                 compute_dtype=dt)(h)
-            h = TrainBatchNorm(name="bn_1")(h)
+            h = TrainBatchNorm(name="bn_1", mode=bn)(h)
             h = swish(h)
             h = ConvTranspose2d(32, 4, 2, 1, use_bias=False, name="deconv_2",
                                 compute_dtype=dt)(h)
-            h = TrainBatchNorm(name="bn_2")(h)
+            h = TrainBatchNorm(name="bn_2", mode=bn)(h)
             h = swish(h)
             h = ConvTranspose2d(3, 4, 2, 1, use_bias=False, name="deconv_3",
                                 compute_dtype=dt)(h)
@@ -184,6 +188,7 @@ class VAE(nn.Module):
     condition_dim: Optional[int] = None
     dropout_rate: float = DROPOUT_RATE
     compute_dtype: str = "float32"
+    bn_mode: str = "batch"
 
     def setup(self):
         self.encoder = Encoder(
@@ -196,6 +201,7 @@ class VAE(nn.Module):
             condition_dim=self.condition_dim,
             dropout_rate=self.dropout_rate,
             compute_dtype=self.compute_dtype,
+            bn_mode=self.bn_mode,
         )
         self.decoder = Decoder(
             latent_size=self.latent_size,
@@ -206,6 +212,7 @@ class VAE(nn.Module):
             categorical_conditions=self.categorical_conditions,
             condition_dim=self.condition_dim,
             compute_dtype=self.compute_dtype,
+            bn_mode=self.bn_mode,
         )
 
     def __call__(self, x, c=None):
@@ -254,6 +261,7 @@ class MVAE(nn.Module):
     architecture: str = "cnn"
     dropout_rate: float = DROPOUT_RATE
     compute_dtype: str = "float32"
+    bn_mode: str = "batch"
 
     def setup(self):
         assert self.architecture != "mlp", "MVAE is not implemented with MLP"
@@ -264,6 +272,7 @@ class MVAE(nn.Module):
             categorical_conditions=self.categorical_conditions,
             condition_dim=self.condition_dim,
             compute_dtype=self.compute_dtype,
+            bn_mode=self.bn_mode,
         )
         self.visual_encoder = Encoder(dropout_rate=self.dropout_rate, **img_kwargs)
         self.visual_decoder = Decoder(**img_kwargs)

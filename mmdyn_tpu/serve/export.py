@@ -61,11 +61,11 @@ def export_session(session, out_dir, batch_size=1,
         cond_spec = jax.ShapeDtypeStruct((batch_size, cfg.condition_dim),
                                          np.float32)
     rng_spec = jax.ShapeDtypeStruct((2,), np.uint32)
-    params_spec = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), session.params)
+    var_spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), session.variables)
 
-    fn = jax.jit(lambda params, inputs, condition, rng:
-                 session._predict_core(params, inputs, condition, rng,
+    fn = jax.jit(lambda variables, inputs, condition, rng:
+                 session._predict_core(variables, inputs, condition, rng,
                                        bool(sample)))
 
     tried = [tuple(platforms)] if platforms else [("cpu", "tpu"),
@@ -74,7 +74,7 @@ def export_session(session, out_dir, batch_size=1,
     for plats in tried:
         try:
             exported = jexport.export(fn, platforms=plats)(
-                params_spec, specs, cond_spec, rng_spec)
+                var_spec, specs, cond_spec, rng_spec)
             break
         except Exception as e:  # multi-platform lowering can be unsupported
             err = e
@@ -82,8 +82,8 @@ def export_session(session, out_dir, batch_size=1,
         raise RuntimeError(f"export failed for {tried}: {err}")
 
     (out_dir / MODULE).write_bytes(exported.serialize())
-    params_np = jax.tree_util.tree_map(np.asarray, session.params)
-    (out_dir / PARAMS).write_bytes(fserial.msgpack_serialize(params_np))
+    vars_np = jax.tree_util.tree_map(np.asarray, session.variables)
+    (out_dir / PARAMS).write_bytes(fserial.msgpack_serialize(vars_np))
 
     manifest = {
         "batch_size": int(batch_size),
@@ -92,7 +92,8 @@ def export_session(session, out_dir, batch_size=1,
         "sample": bool(sample),
         "platforms": list(exported.platforms),
         "outputs": sorted(jax.eval_shape(
-            fn, params_spec, specs, cond_spec, rng_spec)),
+            fn, var_spec, specs, cond_spec, rng_spec)),
+        "frozen_bn": session.bn_stats is not None,
         "config": dataclasses.asdict(cfg),
         "jax_version": jax.__version__,
     }

@@ -70,12 +70,17 @@ class InferenceSession:
     """Deterministic (by default) forward-only access to a trained model."""
 
     def __init__(self, cfg: ProblemConfig, params, parity: bool = False,
-                 mesh=None):
+                 mesh=None, bn_stats=None):
         self.cfg = cfg
         self.parity = parity
         self.mesh = mesh  # data-parallel serving: batch sharded, params
                           # replicated; the same jitted program runs SPMD
         kwargs = {} if parity else {"dropout_rate": 0.0}
+        if bn_stats is not None:
+            # frozen-statistics BatchNorm: per-example deterministic serving
+            # (see freeze_bn); param tree unchanged, stats ride a separate
+            # flax collection
+            kwargs["bn_mode"] = "frozen"
         if cfg.problem_type == "regression":
             self.model = setup_model(cfg.model_name, out_dim=POSE_DIM,
                                      conditional=cfg.conditional,
@@ -94,9 +99,19 @@ class InferenceSession:
                 mk["input_dim"] = 64 * 64
             self.model = setup_model(cfg.model_name,
                                      cross_modal=cfg.cross_modal, **mk)
-        self.params = (replicate(mesh, params) if mesh is not None
-                       else jax.device_put(params))
+        place = ((lambda t: replicate(mesh, t)) if mesh is not None
+                 else jax.device_put)
+        self.params = place(params)
+        self.bn_stats = place(bn_stats) if bn_stats is not None else None
         self._aot_cache = {}
+
+    @property
+    def variables(self):
+        """The flax variables dict every compiled predictor takes as its
+        first argument: {'params': ...} plus 'bn_stats' when frozen."""
+        if self.bn_stats is not None:
+            return {"params": self.params, "bn_stats": self.bn_stats}
+        return {"params": self.params}
 
     # ------------------------------------------------------------------
     @classmethod
@@ -136,9 +151,9 @@ class InferenceSession:
         kd, kr = jax.random.split(rng)
         return {"dropout": kd}, kr
 
-    def _posterior(self, params, inputs, condition, rngs):
+    def _posterior(self, variables, inputs, condition, rngs):
         """Joint PoE posterior over the present modalities (vae.py:126-165)."""
-        model, variables = self.model, {"params": params}
+        model = self.model
         mcls = type(model)
 
         def apply(method, *a, **kw):
@@ -166,11 +181,11 @@ class InferenceSession:
         lvs = [jnp.zeros_like(lvs[0])] + lvs
         return product_of_experts(jnp.stack(mus), jnp.stack(lvs))
 
-    def _decode(self, params, z, condition, rngs, uint8_images=False):
+    def _decode(self, variables, z, condition, rngs, uint8_images=False):
         """Decode z into every output modality; images sigmoided to [0, 1]
         (or quantized to uint8 on device — a 4x smaller serving payload,
         which matters through the tunnel's host<->device link)."""
-        model, variables = self.model, {"params": params}
+        model = self.model
         mcls = type(model)
 
         def apply(method, *a, **kw):
@@ -197,18 +212,18 @@ class InferenceSession:
             preds["pose"] = apply(mcls.decode_pose, z).astype(jnp.float32)
         return preds
 
-    def _predict_core(self, params, inputs, condition, rng, sample,
+    def _predict_core(self, variables, inputs, condition, rng, sample,
                       uint8_images=False):
         rngs, k_rep = self._rngs(rng)
         if self.cfg.problem_type == "regression":
-            out = self.model.apply({"params": params},
+            out = self.model.apply(variables,
                                    inputs["visual" if "visual" in inputs
                                           else "tactile"],
                                    condition, rngs=rngs)
             return {"pose": out.astype(jnp.float32)}
-        mu, lv = self._posterior(params, inputs, condition, rngs)
+        mu, lv = self._posterior(variables, inputs, condition, rngs)
         z = reparametrize(k_rep, mu, lv) if sample else mu
-        preds = self._decode(params, z, condition, rngs,
+        preds = self._decode(variables, z, condition, rngs,
                              uint8_images=uint8_images)
         preds["mu"], preds["logvar"] = mu, lv
         return preds
@@ -222,10 +237,10 @@ class InferenceSession:
 
     @functools.cached_property
     def _jit_sample(self):
-        def fn(params, rng, n, cond):
+        def fn(variables, rng, n, cond):
             kz, kd = jax.random.split(rng)
             z = jax.random.normal(kz, (n, self.cfg.latent_size))
-            return self._decode(params, z, cond, {"dropout": kd})
+            return self._decode(variables, z, cond, {"dropout": kd})
 
         return jax.jit(fn, static_argnums=(2,))
 
@@ -263,8 +278,8 @@ class InferenceSession:
         inputs = self._gather(visual, tactile, pose)
         cond = (jnp.asarray(condition)
                 if (condition is not None and self.cfg.conditional) else None)
-        return self._jit_predict(self.params, inputs, cond, rng, bool(sample),
-                                 bool(uint8_images))
+        return self._jit_predict(self.variables, inputs, cond, rng,
+                                 bool(sample), bool(uint8_images))
 
     def encode(self, visual=None, tactile=None, pose=None, condition=None):
         """Joint posterior (mu, logvar) of the present modalities."""
@@ -277,7 +292,7 @@ class InferenceSession:
             raise ValueError("regression models have no latent space")
         cond = (jnp.asarray(condition)
                 if (condition is not None and self.cfg.conditional) else None)
-        return self._jit_sample(self.params, rng, int(n), cond)
+        return self._jit_sample(self.variables, rng, int(n), cond)
 
     # ------------------------------------------------------------------
     def rollout(self, steps, visual=None, tactile=None, pose=None,
@@ -298,16 +313,16 @@ class InferenceSession:
                 if (condition is not None and self.cfg.conditional) else None)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        return self._jit_rollout(self.params, inputs, cond, rng, int(steps),
-                                 bool(sample))
+        return self._jit_rollout(self.variables, inputs, cond, rng,
+                                 int(steps), bool(sample))
 
     @functools.cached_property
     def _jit_rollout(self):
-        def fn(params, init, cond, rng, steps, sample):
+        def fn(variables, init, cond, rng, steps, sample):
             keep = tuple(sorted(init))
 
             def step(carry, key):
-                preds = self._predict_core(params, carry, cond, key, sample)
+                preds = self._predict_core(variables, carry, cond, key, sample)
                 nxt = {k: preds[k] for k in keep}
                 return nxt, {k: preds[k] for k in preds
                              if k in keep or k in ("mu", "logvar")}
@@ -317,13 +332,80 @@ class InferenceSession:
         return jax.jit(fn, static_argnums=(4, 5))
 
     # ------------------------------------------------------------------
+    def freeze_bn(self, visual=None, tactile=None, pose=None, condition=None,
+                  rng=None) -> "InferenceSession":
+        """Calibrate BatchNorm and return a frozen-statistics session.
+
+        The models carry no running statistics by design (the reference
+        always evaluates in train mode, problems.py:174, so
+        layers.TrainBatchNorm is stateless). That makes batch-mode serving
+        depend on the composition of the served batch — including padding
+        rows and, under request coalescing, OTHER requests' data. This
+        runs one calibration pass over the given batch (every encoder and
+        decoder executes once), captures each BN layer's statistics into a
+        ``bn_stats`` collection, and returns a new session whose predictions
+        are per-example deterministic (and reduction-free, so cheaper).
+
+        Use a calibration batch representative of the training data — e.g.
+        a few hundred frames from the training dump.
+        """
+        if self.cfg.problem_type == "regression":
+            collect = setup_model(self.cfg.model_name, out_dim=POSE_DIM,
+                                  conditional=self.cfg.conditional,
+                                  condition_dim=self.cfg.condition_dim,
+                                  compute_dtype=self.cfg.compute_dtype,
+                                  dropout_rate=0.0, bn_mode="collect")
+        else:
+            mk = dict(latent_size=self.cfg.latent_size,
+                      architecture=self.cfg.model_name.split("-")[0],
+                      conditional=self.cfg.conditional,
+                      categorical_conditions=self.cfg.categorical_conditions,
+                      condition_dim=self.cfg.condition_dim,
+                      compute_dtype=self.cfg.compute_dtype,
+                      dropout_rate=0.0, bn_mode="collect")
+            if self.cfg.is_mvae:
+                mk["use_pose"] = self.cfg.use_pose
+            else:
+                mk["input_dim"] = 64 * 64
+            collect = setup_model(self.cfg.model_name,
+                                  cross_modal=self.cfg.cross_modal, **mk)
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        kd, kr = jax.random.split(rng)
+        rngs = {"dropout": kd, "reparam": kr}
+        params = jax.device_get(self.params)  # host copy; re-placed below
+        cond = (jnp.asarray(condition)
+                if (condition is not None and self.cfg.conditional) else None)
+        if self.cfg.problem_type == "regression":
+            x = visual if visual is not None else tactile
+            _, muts = collect.apply({"params": params}, jnp.asarray(x), cond,
+                                    rngs=rngs, mutable=["bn_stats"])
+        elif self.cfg.is_mvae:
+            if visual is None or tactile is None:
+                raise ValueError("MVAE calibration needs visual AND tactile "
+                                 "(every BN layer must execute)")
+            p = (jnp.asarray(pose) if (pose is not None and self.cfg.use_pose)
+                 else None)
+            _, muts = collect.apply({"params": params},
+                                    [jnp.asarray(visual), jnp.asarray(tactile)],
+                                    p, cond, rngs=rngs, mutable=["bn_stats"])
+        else:
+            x = visual if visual is not None else tactile
+            _, muts = collect.apply({"params": params}, jnp.asarray(x), cond,
+                                    rngs=rngs, mutable=["bn_stats"])
+        return InferenceSession(self.cfg, params, parity=self.parity,
+                                mesh=self.mesh, bn_stats=muts["bn_stats"])
+
+    # ------------------------------------------------------------------
     def aot_predict(self, batch_size, modalities=("visual", "tactile"),
                     conditional=False, sample=False, uint8_images=False):
         """Ahead-of-time compile the predictor for a fixed batch size.
 
         Returns a ``jax.stages.Compiled`` executable of
-        ``(params, inputs, condition, rng) -> predictions`` — no tracing or
-        compile on the serving hot path, stable latency from the first call.
+        ``(variables, inputs, condition, rng) -> predictions`` (pass
+        ``session.variables``) — no tracing or compile on the serving hot
+        path, stable latency from the first call.
         """
         key = (int(batch_size), tuple(sorted(modalities)), bool(conditional),
                bool(sample), bool(uint8_images))
@@ -342,14 +424,14 @@ class InferenceSession:
             cond_spec = jax.ShapeDtypeStruct(
                 (batch_size, self.cfg.condition_dim), jnp.float32)
         rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
-        params_spec = jax.tree_util.tree_map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params)
+        var_spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.variables)
 
         @jax.jit
-        def fn(params, inputs, condition, rng):
-            return self._predict_core(params, inputs, condition, rng, sample,
-                                      uint8_images)
+        def fn(variables, inputs, condition, rng):
+            return self._predict_core(variables, inputs, condition, rng,
+                                      sample, uint8_images)
 
-        compiled = fn.lower(params_spec, specs, cond_spec, rng_spec).compile()
+        compiled = fn.lower(var_spec, specs, cond_spec, rng_spec).compile()
         self._aot_cache[key] = compiled
         return compiled

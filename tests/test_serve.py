@@ -141,6 +141,70 @@ class TestPredict:
             s.predict()
 
 
+class TestFrozenBN:
+    def test_per_example_determinism(self):
+        s = _mvae_session(use_pose=True)
+        cal_v, cal_t = _img(10, 8), _img(11, 8)
+        frozen = s.freeze_bn(visual=cal_v, tactile=cal_t,
+                             pose=jnp.zeros((8, 7)))
+        v = _img(0, 4)
+        # batch-mode serving depends on batch composition...
+        full = s.predict(visual=v)
+        solo = s.predict(visual=v[:1])
+        assert not np.allclose(np.asarray(full["mu"][:1]),
+                               np.asarray(solo["mu"]))
+        # ...frozen serving does not: row 0 is identical served alone or
+        # inside any batch
+        f_full = frozen.predict(visual=v)
+        f_solo = frozen.predict(visual=v[:1])
+        np.testing.assert_allclose(np.asarray(f_full["mu"][:1]),
+                                   np.asarray(f_solo["mu"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_full["visual"][:1]),
+                                   np.asarray(f_solo["visual"]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_calibration_batch_reproduces_batch_mode(self):
+        # served ON the calibration batch itself, frozen stats == batch stats
+        s = _mvae_session(use_pose=False)
+        v, t = _img(0, 8), _img(1, 8)
+        frozen = s.freeze_bn(visual=v, tactile=t)
+        a = s.predict(visual=v, tactile=t)
+        b = frozen.predict(visual=v, tactile=t)
+        np.testing.assert_allclose(np.asarray(a["mu"]), np.asarray(b["mu"]),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_frozen_export_roundtrip(self, tmp_path):
+        s = _mvae_session(use_pose=False)
+        frozen = s.freeze_bn(visual=_img(10, 8), tactile=_img(11, 8))
+        manifest = export_session(frozen, tmp_path / "art", batch_size=2,
+                                  modalities=("visual", "tactile"))
+        assert manifest["frozen_bn"] is True
+        pred = load_exported(tmp_path / "art")
+        v, t = _img(0), _img(1)
+        live = frozen.predict(visual=v, tactile=t)
+        art = pred(visual=v, tactile=t)
+        np.testing.assert_allclose(np.asarray(art["mu"]),
+                                   np.asarray(live["mu"]), atol=1e-5)
+
+    def test_regressor_freeze(self):
+        cfg = ProblemConfig(problem_type="regression", model_name="regressor",
+                            input_type="visual", batchsize=2)
+        model = setup_model("regressor", out_dim=7, conditional=False,
+                            condition_dim=None, compute_dtype="float32")
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}
+        params = model.init(rngs, jnp.zeros((2, 64, 64, 3)), None)["params"]
+        s = InferenceSession(cfg, params)
+        frozen = s.freeze_bn(visual=_img(10, 8))
+        v = _img(0, 4)
+        a = frozen.predict(visual=v[:1])
+        b = frozen.predict(visual=v)
+        np.testing.assert_allclose(np.asarray(a["pose"]),
+                                   np.asarray(b["pose"][:1]),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestMeshServing:
     def test_sharded_predict_matches_single_device(self):
         from mmdyn_tpu.parallel.mesh import make_mesh
@@ -174,7 +238,7 @@ class TestMeshServing:
                                        atol=1e-5)
 
         compiled = sharded.aot_predict(16, ("visual", "tactile"))
-        o3 = compiled(sharded.params, {"visual": v, "tactile": t}, None,
+        o3 = compiled(sharded.variables, {"visual": v, "tactile": t}, None,
                       jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(o1["visual"]),
                                    np.asarray(o3["visual"]), atol=1e-5)
@@ -211,7 +275,7 @@ class TestAotAndExport:
         s = _mvae_session(use_pose=False)
         v, t = _img(0), _img(1)
         compiled = s.aot_predict(2, ("tactile", "visual"))
-        aout = compiled(s.params, {"visual": v, "tactile": t}, None,
+        aout = compiled(s.variables, {"visual": v, "tactile": t}, None,
                         jax.random.PRNGKey(0))
         live = s.predict(visual=v, tactile=t)
         np.testing.assert_allclose(np.asarray(aout["visual"]),

@@ -92,7 +92,7 @@ def main(argv=None):
     key = jax.random.PRNGKey(0)
 
     def measure(compiled, inputs):
-        run = lambda: compiled(session.params, inputs, None, key)
+        run = lambda: compiled(session.variables, inputs, None, key)
 
         def sync(out):
             # block_until_ready is not a real barrier through the tunnel —
