@@ -31,6 +31,10 @@ def build_parser():
     p.add_argument("--parity", action="store_true", default=False)
     p.add_argument("--checkpoint", default=None, type=str)
     p.add_argument("--num-devices", default=0, type=int)
+    p.add_argument("--microbatch-wait-ms", default=0.0, type=float,
+                   help="coalesce concurrent predict requests for up to this "
+                        "long into one device batch (use with --calibrate: "
+                        "batch-stat BN would mix requests' statistics)")
     p.add_argument("--calibrate", default=None, type=str,
                    help="sequence dump dir; freezes BatchNorm statistics on "
                         "these frames (per-example deterministic serving)")
@@ -63,8 +67,13 @@ def main(argv=None):
         session = session.freeze_bn(**frames)
         print(f"froze BatchNorm statistics on "
               f"{len(next(iter(frames.values())))} calibration frames")
+    if args.microbatch_wait_ms > 0 and session.bn_stats is None:
+        print("WARNING: micro-batching with batch-statistics BatchNorm mixes "
+              "concurrent requests' normalisation statistics; use "
+              "--calibrate for per-example-deterministic serving")
     server = make_server(session, host=args.host, port=args.port,
-                         batch_size=args.batchsize)
+                         batch_size=args.batchsize,
+                         microbatch_wait_ms=args.microbatch_wait_ms)
     print(f"serving {args.run} on http://{args.host}:{server.server_port} "
           f"(batch {args.batchsize}, model {session.cfg.model_name})")
     try:

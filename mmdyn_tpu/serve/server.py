@@ -25,7 +25,9 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -39,9 +41,19 @@ def _npz_bytes(arrays: dict) -> bytes:
 
 
 class ServingApp:
-    """Request -> prediction glue; separable from HTTP for testing."""
+    """Request -> prediction glue; separable from HTTP for testing.
 
-    def __init__(self, session, batch_size: int = 64):
+    ``microbatch_wait_ms > 0`` enables request coalescing: concurrent
+    predict requests with the same signature (modalities, conditionality,
+    sample flag) merge into one device batch, amortising the dispatch
+    round-trip. NOTE: under default batch-statistics BatchNorm, coalescing
+    mixes requests into each other's normalisation statistics — enable it
+    together with a frozen-BN session (InferenceSession.freeze_bn /
+    --calibrate), whose predictions are per-example deterministic.
+    """
+
+    def __init__(self, session, batch_size: int = 64,
+                 microbatch_wait_ms: float = 0.0):
         self.session = session
         self.batch_size = int(batch_size)
         self.cfg = session.cfg
@@ -51,10 +63,13 @@ class ServingApp:
             self.modalities.append("pose")
         self._lock = threading.Lock()   # one chip: serialize compute
         self._requests = 0
+        self._batches = 0
         # warm the AOT cache for the serving batch size
         session.aot_predict(self.batch_size, tuple(self.modalities),
                             conditional=self.cfg.conditional,
                             uint8_images=self.cfg.problem_type != "regression")
+        self._batcher = (_MicroBatcher(self, microbatch_wait_ms / 1e3)
+                         if microbatch_wait_ms > 0 else None)
 
     # -- helpers ---------------------------------------------------------
     def health(self) -> dict:
@@ -68,6 +83,9 @@ class ServingApp:
             "batch_size": self.batch_size,
             "conditional": self.cfg.conditional,
             "requests_served": self._requests,
+            "batches_executed": self._batches,
+            "microbatching": self._batcher is not None,
+            "frozen_bn": self.session.bn_stats is not None,
             "config": dataclasses.asdict(self.cfg),
         }
 
@@ -101,17 +119,11 @@ class ServingApp:
             return arr
         return np.concatenate([arr, np.repeat(arr[-1:], to - n, axis=0)])
 
-    # -- endpoints -------------------------------------------------------
-    def predict(self, body: bytes, sample: bool = False) -> bytes:
-        npz = np.load(io.BytesIO(body), allow_pickle=False)
-        inputs, cond, n = self._parse_inputs(npz)
-        if n > self.batch_size:
-            raise ValueError(f"batch {n} exceeds serving batch size "
-                             f"{self.batch_size}")
+    def _run_batch(self, inputs, cond, sample, n):
+        """Pad to the serving batch, predict, device_get, truncate to n."""
         import jax
 
-        inputs = {m: self._pad(a, self.batch_size)
-                  for m, a in inputs.items()}
+        inputs = {m: self._pad(a, self.batch_size) for m, a in inputs.items()}
         if cond is not None:
             cond = self._pad(cond, self.batch_size)
         with self._lock:
@@ -119,8 +131,22 @@ class ServingApp:
                 **inputs, condition=cond, sample=sample,
                 uint8_images=self.cfg.problem_type != "regression")
             out = jax.device_get(out)
-            self._requests += 1
-        return _npz_bytes({k: np.asarray(v)[:n] for k, v in out.items()})
+            self._batches += 1
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    # -- endpoints -------------------------------------------------------
+    def predict(self, body: bytes, sample: bool = False) -> bytes:
+        npz = np.load(io.BytesIO(body), allow_pickle=False)
+        inputs, cond, n = self._parse_inputs(npz)
+        if n > self.batch_size:
+            raise ValueError(f"batch {n} exceeds serving batch size "
+                             f"{self.batch_size}")
+        if self._batcher is not None:
+            out = self._batcher.submit(inputs, cond, sample, n)
+        else:
+            out = self._run_batch(inputs, cond, sample, n)
+        self._requests += 1
+        return _npz_bytes(out)
 
     def rollout(self, body: bytes, steps: int, sample: bool = False) -> bytes:
         npz = np.load(io.BytesIO(body), allow_pickle=False)
@@ -135,6 +161,73 @@ class ServingApp:
             traj = jax.device_get(traj)
             self._requests += 1
         return _npz_bytes({k: np.asarray(v) for k, v in traj.items()})
+
+
+class _MicroBatcher:
+    """Coalesce concurrent predict requests into one device batch.
+
+    A single worker thread takes the first queued request, then gathers
+    same-signature requests until the batch fills or ``wait_s`` elapses;
+    one padded predict serves the whole group and each caller gets its
+    row slice back.
+    """
+
+    def __init__(self, app: "ServingApp", wait_s: float):
+        self.app = app
+        self.wait_s = wait_s
+        self.q = queue.Queue()
+        threading.Thread(target=self._loop, daemon=True,
+                         name="mmdyn-microbatcher").start()
+
+    def submit(self, inputs, cond, sample, n):
+        key = (tuple(sorted(inputs)), cond is not None, bool(sample))
+        done = threading.Event()
+        slot = {}
+        self.q.put((key, inputs, cond, n, done, slot))
+        done.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def _group(self):
+        first = self.q.get()
+        group, rows = [first], first[3]
+        deadline = time.monotonic() + self.wait_s
+        while rows < self.app.batch_size:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self.q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt[0] == first[0] and rows + nxt[3] <= self.app.batch_size:
+                group.append(nxt)
+                rows += nxt[3]
+            else:
+                self.q.put(nxt)   # different signature / no room: requeue
+                break
+        return group
+
+    def _loop(self):
+        while True:
+            group = self._group()
+            try:
+                inputs = {m: np.concatenate([g[1][m] for g in group])
+                          for m in group[0][1]}
+                cond = (np.concatenate([g[2] for g in group])
+                        if group[0][2] is not None else None)
+                total = sum(g[3] for g in group)
+                out = self.app._run_batch(inputs, cond, group[0][0][2], total)
+                off = 0
+                for _, _, _, n, done, slot in group:
+                    slot["out"] = {k: v[off:off + n] for k, v in out.items()}
+                    off += n
+                    done.set()
+            except Exception as e:   # propagate to every waiter
+                for *_rest, done, slot in group:
+                    slot["err"] = e
+                    done.set()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -179,8 +272,10 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(session, host: str = "127.0.0.1", port: int = 8471,
-                batch_size: int = 64) -> ThreadingHTTPServer:
+                batch_size: int = 64,
+                microbatch_wait_ms: float = 0.0) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; .serve_forever() to run."""
-    app = ServingApp(session, batch_size=batch_size)
+    app = ServingApp(session, batch_size=batch_size,
+                     microbatch_wait_ms=microbatch_wait_ms)
     handler = type("Handler", (_Handler,), {"app": app})
     return ThreadingHTTPServer((host, port), handler)

@@ -375,6 +375,45 @@ class TestHttpServing:
             server.shutdown()
             thread.join(timeout=10)
 
+    def test_microbatching_coalesces_and_matches_solo(self):
+        import threading
+
+        from mmdyn_tpu.serve.server import ServingApp
+
+        s = _mvae_session(use_pose=False, latent=8)
+        frozen = s.freeze_bn(visual=_img(10, 8), tactile=_img(11, 8))
+        app = ServingApp(frozen, batch_size=4, microbatch_wait_ms=300.0)
+
+        import io
+
+        def body(v):
+            buf = io.BytesIO()
+            np.savez(buf, visual=v)
+            return buf.getvalue()
+
+        vs = [np.asarray(_img(i, 1)) for i in range(3)]
+        results = [None] * 3
+
+        def post(i):
+            results[i] = np.load(io.BytesIO(app.predict(body(vs[i]))))
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        # coalesced into fewer device batches than requests
+        assert app._batches < 3
+        assert app._requests == 3
+        # frozen BN: each coalesced result equals the solo prediction up to
+        # compile-level numerics (batch-1 vs batch-4 programs order conv
+        # reductions differently -> last-ulp noise -> at most 1 uint8 level)
+        for i in range(3):
+            solo = frozen.predict(visual=vs[i], uint8_images=True)
+            diff = np.abs(results[i]["visual"].astype(np.int16)
+                          - np.asarray(solo["visual"]).astype(np.int16))
+            assert diff.max() <= 1
+
     def test_uint8_request_payload_accepted(self):
         from mmdyn_tpu.serve.server import ServingApp
 
