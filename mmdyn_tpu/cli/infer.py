@@ -179,6 +179,11 @@ def main(argv=None):
             poses = np.concatenate(preds["pose"])
             np.save(out_dir / "pred_pose.npy", poses)
             report["pose_mean"] = [round(float(x), 5) for x in poses.mean(0)]
+            if "pose_min" in session.norms:   # runs carry norms.json now
+                denorm = session.denormalize_pose(poses)
+                np.save(out_dir / "pred_pose_denorm.npy", denorm)
+                report["pose_mean_denorm"] = [round(float(x), 5)
+                                              for x in denorm.mean(0)]
         else:
             for m in out_keys:
                 _save_images(out_dir, f"pred_{m}", np.concatenate(preds[m]))

@@ -286,9 +286,16 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
         "final_pose": np.stack([seqs["final_pose"][j] for j in order]),
         "seq_length": np.int64(seq_length),
         "has_shock": np.bool_(has_shock),
+        # min-max normalisation constants (datasets.py:187-204) — the
+        # reference recomputes and discards these at compile; recording them
+        # makes runs self-describing so serving can denormalise pose/shock
+        "pose_min": pose_min.astype(np.float32),
+        "pose_max": pose_max.astype(np.float32),
     }
     if has_shock:
         packed["shock"] = np.stack([seqs["shock"][j] for j in order])
+        packed["shock_min"] = shock_min.astype(np.float32)
+        packed["shock_max"] = shock_max.astype(np.float32)
 
     out = root / compiled_name
     if str(compiled_name).endswith(".npz"):

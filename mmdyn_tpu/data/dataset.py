@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
+import numpy as np
+
 
 from mmdyn_tpu.data.compile import COMPILED_NAME, compile_dataset
 from mmdyn_tpu.data.loader import BatchLoader
@@ -38,6 +40,10 @@ class VisuoTactileArrays:
         arrays = load_packed(packed_path, mmap=mmap)
         self.seq_length = int(arrays.pop("seq_length"))
         self.has_shock = bool(arrays.pop("has_shock", False))
+        # normalisation constants (absent in pre-round-3 compiled datasets)
+        self.norms = {k: np.asarray(arrays.pop(k)).tolist()
+                      for k in ("pose_min", "pose_max",
+                                "shock_min", "shock_max") if k in arrays}
 
         n = arrays["visual"].shape[0]
         frac_index = int(train_frac * n)

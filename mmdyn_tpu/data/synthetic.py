@@ -101,9 +101,13 @@ def make_compiled_arrays(out_path, n_sequences=16, seq_length=8,
         "final_pose": rng.uniform(0, 1, size=(n, 7)).astype(np.float32),
         "seq_length": np.int64(t),
         "has_shock": np.bool_(with_shock),
+        "pose_min": np.zeros(7, np.float32),
+        "pose_max": np.ones(7, np.float32),
     }
     if with_shock:
         packed["shock"] = rng.uniform(0, 1, size=(n, t, 1)).astype(np.float32)
+        packed["shock_min"] = np.zeros(1, np.float32)
+        packed["shock_max"] = np.ones(1, np.float32)
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(out_path, **packed)

@@ -70,8 +70,9 @@ class InferenceSession:
     """Deterministic (by default) forward-only access to a trained model."""
 
     def __init__(self, cfg: ProblemConfig, params, parity: bool = False,
-                 mesh=None, bn_stats=None):
+                 mesh=None, bn_stats=None, norms=None):
         self.cfg = cfg
+        self.norms = norms or {}  # dataset min-max constants (norms.json)
         self.parity = parity
         self.mesh = mesh  # data-parallel serving: batch sharded, params
                           # replicated; the same jitted program runs SPMD
@@ -140,7 +141,12 @@ class InferenceSession:
         import dataclasses
         cfg = dataclasses.replace(
             cfg, condition_dim=_infer_condition_dim(cfg, params))
-        return cls(cfg, params, parity=parity, mesh=mesh)
+        norms = None
+        if (run_dir / "norms.json").exists():
+            import json
+            with open(run_dir / "norms.json") as f:
+                norms = json.load(f)
+        return cls(cfg, params, parity=parity, mesh=mesh, norms=norms)
 
     # ------------------------------------------------------------------
     # pure prediction cores (one jit cache entry per presence signature)
@@ -281,6 +287,29 @@ class InferenceSession:
         return self._jit_predict(self.variables, inputs, cond, rng,
                                  bool(sample), bool(uint8_images))
 
+    def denormalize_pose(self, pose):
+        """Invert the dataset's min-max pose normalisation
+        (datasets.py:244-253): x = lo + pose * (hi - lo). Requires the run
+        to carry norms.json (written at train time since round 3); raises
+        otherwise."""
+        if "pose_min" not in self.norms:
+            raise ValueError(
+                "no normalisation constants: the run predates norms.json "
+                "(re-train, or pass norms= to InferenceSession)")
+        lo = np.asarray(self.norms["pose_min"], np.float32)
+        hi = np.asarray(self.norms["pose_max"], np.float32)
+        return np.asarray(pose, np.float32) * (hi - lo) + lo
+
+    def normalize_pose(self, pose):
+        """Forward min-max normalisation for feeding raw poses in."""
+        if "pose_min" not in self.norms:
+            raise ValueError("no normalisation constants (see denormalize_pose)")
+        lo = np.asarray(self.norms["pose_min"], np.float32)
+        hi = np.asarray(self.norms["pose_max"], np.float32)
+        rng = hi - lo
+        rng[rng == 0] = 1.0
+        return (np.asarray(pose, np.float32) - lo) / rng
+
     def encode(self, visual=None, tactile=None, pose=None, condition=None):
         """Joint posterior (mu, logvar) of the present modalities."""
         out = self.predict(visual, tactile, pose, condition)
@@ -395,7 +424,8 @@ class InferenceSession:
             _, muts = collect.apply({"params": params}, jnp.asarray(x), cond,
                                     rngs=rngs, mutable=["bn_stats"])
         return InferenceSession(self.cfg, params, parity=self.parity,
-                                mesh=self.mesh, bn_stats=muts["bn_stats"])
+                                mesh=self.mesh, bn_stats=muts["bn_stats"],
+                                norms=self.norms)
 
     # ------------------------------------------------------------------
     def aot_predict(self, batch_size, modalities=("visual", "tactile"),

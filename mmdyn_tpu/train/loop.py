@@ -105,6 +105,16 @@ class Problem:
         condition_dim = self.train_dataset.shock_dim
         self.cfg = dataclasses.replace(cfg, condition_dim=condition_dim)
 
+        # make the run self-describing for dataset-free serving: record the
+        # dataset's min-max normalisation constants (the reference computes
+        # and discards them at compile, datasets.py:187-204)
+        norms = dict(getattr(self.train_dataset, "norms", {}) or {})
+        if norms:
+            import json
+            norms["seq_length"] = self.seq_length
+            with open(self.log_dir / "norms.json", "w") as f:
+                json.dump(norms, f, indent=2)
+
         # --- model ---
         self.model = self._build_model()
         key = jax.random.PRNGKey(seed)

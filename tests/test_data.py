@@ -46,6 +46,11 @@ class TestCompileMath:
             # normalised pose in [0, 1] modulo quaternion fixed range
             assert z["pose"][..., :3].min() >= -1e-6
             assert z["pose"][..., :3].max() <= 1 + 1e-6
+            # normalisation constants recorded for dataset-free serving
+            assert z["pose_min"].shape == (7,)
+            assert z["pose_max"].shape == (7,)
+            np.testing.assert_allclose(z["pose_min"][3:], -1.0)
+            np.testing.assert_allclose(z["pose_max"][3:], 1.0)
 
     def test_compile_rejects_non_uniform_dump(self, tmp_path):
         """A dump with mixed per-sequence frame counts (partial write, or two

@@ -487,6 +487,25 @@ class TestFromRun:
         out = s.predict(visual=_img(), condition=jnp.zeros((2, 4)))
         assert out["visual"].shape == (2, 64, 64, 3)
 
+    def test_norms_roundtrip(self, tmp_path):
+        run, _ = self._fake_run(tmp_path)
+        norms = {"pose_min": [0, 0, 0, -1, -1, -1, -1],
+                 "pose_max": [2, 4, 6, 1, 1, 1, 1], "seq_length": 10}
+        with open(run / "norms.json", "w") as f:
+            json.dump(norms, f)
+        s = InferenceSession.from_run(run)
+        raw = np.array([[1.0, 2.0, 3.0, 0.0, 0.0, 0.0, 1.0]], np.float32)
+        normed = s.normalize_pose(raw)
+        np.testing.assert_allclose(s.denormalize_pose(normed), raw,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(normed[0, :3], [0.5, 0.5, 0.5])
+
+    def test_denormalize_without_norms_raises(self, tmp_path):
+        run, _ = self._fake_run(tmp_path)
+        s = InferenceSession.from_run(run)
+        with pytest.raises(ValueError):
+            s.denormalize_pose(np.zeros((1, 7)))
+
     def test_missing_checkpoint_raises(self, tmp_path):
         run = tmp_path / "empty_run"
         (run / "checkpoint").mkdir(parents=True)

@@ -225,6 +225,12 @@ class TestLoopEndToEnd:
         assert (problem.log_dir / "results.pkl").exists()
         assert latest_checkpoint(problem.checkpoint_dir) is not None
         assert (problem.log_dir / "tensorboard" / "metrics.jsonl").exists()
+        # run is self-describing for dataset-free serving
+        import json
+        with open(problem.log_dir / "norms.json") as f:
+            norms = json.load(f)
+        assert norms["pose_min"] == [0.0] * 7
+        assert norms["seq_length"] == 3
 
     def test_reconstruction_problem_loop(self, tmp_path):
         """Plain autoencoding (problems.py:362-626 Reconstruction): every
