@@ -186,3 +186,56 @@ class TestCompileCache:
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / "arg")
         # restore the suite's cache dir for subsequent tests
         compile_cache.maybe_enable("/tmp/mmdyn_xla_cache_tests")
+
+
+class TestRolloutEval:
+    def _fake_run(self, tmp_path, problem_type="dyn_modeling"):
+        import pickle
+
+        import jax
+        import jax.numpy as jnp
+
+        from mmdyn_tpu.models.factory import setup_model
+        from mmdyn_tpu.problems.base import ProblemConfig, make_optimizer
+        from mmdyn_tpu.train.checkpoint import save_checkpoint
+        from mmdyn_tpu.train.state import create_train_state
+
+        cfg = ProblemConfig(problem_type=problem_type, model_name="cnn-vae",
+                            input_type="visual", latent_size=8, batchsize=2)
+        model = setup_model("cnn-vae", cross_modal=False, latent_size=8,
+                            architecture="cnn", conditional=False,
+                            categorical_conditions=False, condition_dim=None,
+                            input_dim=64 * 64, compute_dtype="float32")
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "reparam": jax.random.PRNGKey(2)}
+        params = model.init(rngs, jnp.zeros((2, 64, 64, 3)), None)["params"]
+        state = create_train_state(params, make_optimizer(cfg))
+        run = tmp_path / "run_dyn"
+        (run / "checkpoint").mkdir(parents=True)
+        with open(run / "problem.pkl", "wb") as f:
+            pickle.dump({"problem_type": problem_type,
+                         "model_name": "cnn-vae", "input_type": "visual",
+                         "latent_size": 8, "batchsize": 2,
+                         "dataset_path": "unused"}, f)
+        save_checkpoint(run / "checkpoint", state, 0, 1.0, name="latest")
+        return run
+
+    def test_scores_rollout_against_dump(self, tmp_path):
+        from mmdyn_tpu.data.synthetic import make_synthetic_dumps
+        from tools.rollout_eval import main
+
+        make_synthetic_dumps(tmp_path / "ds", n_sequences=1, seq_length=5)
+        seq = next((tmp_path / "ds").glob("**/visual_0000.png")).parent
+        run = self._fake_run(tmp_path)
+        report = main(["--run", str(run), "--frames", str(seq),
+                       "--out", str(tmp_path / "r.json"),
+                       "--strip", str(tmp_path / "strip.png")])
+        assert report["horizon"] == 4
+        vis = report["visual"]
+        assert len(vis["rollout_l1"]) == 4
+        assert len(vis["teacher_l1"]) == 4
+        assert len(vis["persistence_l1"]) == 4
+        assert all(np.isfinite(x) for x in vis["rollout_bce"])
+        assert (tmp_path / "strip.png").exists()
+        assert json.loads((tmp_path / "r.json").read_text())["horizon"] == 4
