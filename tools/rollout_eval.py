@@ -12,7 +12,12 @@ trajectory against the actual dump frames:
 * persistence baseline: pred[t] = gt[0] — the bar any dynamics model must
   clear.
 
-Per-step L1 and BCE per modality, written as one JSON line + an optional
+Per-step L1 and BCE per modality — whole-image AND segment-masked (the
+object occupies a small fraction of the frame, so whole-image L1 is
+dominated by static background and the persistence baseline is nearly
+unbeatable by construction; the masked metric scores only pixels the
+object's segmentation touches in the target or initial frame, which is
+where the dynamics live). Written as one JSON line + an optional
 side-by-side PNG strip (ground truth over prediction).
 
 Usage:
@@ -45,17 +50,50 @@ def build_parser():
     return p
 
 
-def _metrics(pred, gt):
-    """Per-step L1 and BCE of (T, H, W, C) [0, 1] arrays."""
+def _metrics(pred, gt, mask=None):
+    """Per-step L1 and BCE of (T, H, W, C) [0, 1] arrays; ``mask``
+    (T, H, W) restricts the means to object pixels."""
     import numpy as np
 
     eps = 1e-6
     p = np.clip(np.asarray(pred, np.float64), eps, 1 - eps)
     g = np.asarray(gt, np.float64)
-    axes = tuple(range(1, p.ndim))
-    l1 = np.abs(p - g).mean(axis=axes)
-    bce = -(g * np.log(p) + (1 - g) * np.log(1 - p)).mean(axis=axes)
+    l1_px = np.abs(p - g).mean(axis=-1)                      # (T, H, W)
+    bce_px = -(g * np.log(p) + (1 - g) * np.log(1 - p)).mean(axis=-1)
+    if mask is not None:
+        w = np.asarray(mask, np.float64)
+        denom = np.maximum(w.sum(axis=(1, 2)), 1.0)
+        l1 = (l1_px * w).sum(axis=(1, 2)) / denom
+        bce = (bce_px * w).sum(axis=(1, 2)) / denom
+    else:
+        l1 = l1_px.mean(axis=(1, 2))
+        bce = bce_px.mean(axis=(1, 2))
     return [round(float(x), 5) for x in l1], [round(float(x), 5) for x in bce]
+
+
+def _load_seg_masks(frames_dir):
+    """Object masks with the training compile's exact seg prep
+    (data/compile.py:207-219): per-frame seg-bbox crop -> 256 -> 64,
+    background value 1 zeroed; mask = any nonzero channel."""
+    import glob as _glob
+
+    import numpy as np
+
+    from mmdyn_tpu.data.compile import (_bounding_box, _load_image,
+                                        _to_train_res)
+
+    seg_paths = sorted(_glob.glob(str(Path(frames_dir) / "seg_*.png")))
+    if not seg_paths:
+        return None
+    masks = []
+    for sp in seg_paths:
+        seg_full = _load_image(sp, resize=False)
+        bbox = _bounding_box(seg_full)
+        seg = _load_image(sp, bounding_box=bbox)
+        seg = np.where(seg == 1, 0, seg)
+        seg64 = _to_train_res(seg.astype(np.uint8))
+        masks.append((seg64 > 0).any(axis=-1))
+    return np.stack(masks)  # (T, 64, 64) bool
 
 
 def main(argv=None):
@@ -106,24 +144,37 @@ def main(argv=None):
     # dyn targets: the next frame; seq/reconstruction targets: the resting
     # (final) frame of the sequence
     dyn = cfg.problem_type == "dyn_modeling"
+    segs = _load_seg_masks(args.frames)
+    mask = None
+    if segs is not None:
+        tgt = segs[1:horizon + 1] if dyn else np.repeat(segs[-1:], horizon, 0)
+        # union with the initial mask: score where the object IS or WAS
+        mask = np.logical_or(tgt, segs[:1]).astype(np.float64)
+        report["masked"] = True
     for m in modalities:
         gt_next = (frames[m][1:horizon + 1] if dyn
                    else np.repeat(frames[m][-1:], horizon, axis=0))
         roll = traj[m][:, 0]
-        l1, bce = _metrics(roll, gt_next)
-        entry = {"rollout_l1": l1, "rollout_bce": bce}
-        tf_l1, tf_bce = _metrics(teacher[m], gt_next)
-        entry["teacher_l1"] = tf_l1
-        entry["teacher_bce"] = tf_bce
         base = np.repeat(frames[m][:1], horizon, axis=0)
-        b_l1, b_bce = _metrics(base, gt_next)
-        entry["persistence_l1"] = b_l1
-        entry["persistence_bce"] = b_bce
-        entry["rollout_l1_mean"] = round(float(np.mean(l1)), 5)
-        entry["teacher_l1_mean"] = round(float(np.mean(tf_l1)), 5)
-        entry["persistence_l1_mean"] = round(float(np.mean(b_l1)), 5)
-        entry["beats_persistence"] = entry["rollout_l1_mean"] < entry[
-            "persistence_l1_mean"]
+        entry = {}
+        for tag, msk in (("", None), ("masked_", mask)):
+            if msk is None and tag:
+                continue
+            l1, bce = _metrics(roll, gt_next, msk)
+            tf_l1, tf_bce = _metrics(teacher[m], gt_next, msk)
+            b_l1, b_bce = _metrics(base, gt_next, msk)
+            entry[f"{tag}rollout_l1"] = l1
+            entry[f"{tag}rollout_bce"] = bce
+            entry[f"{tag}teacher_l1"] = tf_l1
+            entry[f"{tag}teacher_bce"] = tf_bce
+            entry[f"{tag}persistence_l1"] = b_l1
+            entry[f"{tag}persistence_bce"] = b_bce
+            entry[f"{tag}rollout_l1_mean"] = round(float(np.mean(l1)), 5)
+            entry[f"{tag}teacher_l1_mean"] = round(float(np.mean(tf_l1)), 5)
+            entry[f"{tag}persistence_l1_mean"] = round(float(np.mean(b_l1)), 5)
+            entry[f"{tag}beats_persistence"] = (
+                entry[f"{tag}rollout_l1_mean"]
+                < entry[f"{tag}persistence_l1_mean"])
         report[m] = entry
 
     if args.strip:
