@@ -41,11 +41,15 @@ def build_parser():
     p.add_argument("--warmup", default=3, type=int)
     p.add_argument("--rollout", default=50, type=int,
                    help="rollout horizon for the scan benchmark (0 = skip)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16", "bfloat16_full"],
+                   help="serving compute dtype (params stay f32; bfloat16 "
+                        "feeds the MXU at full rate)")
     p.add_argument("--platform", default=None, type=str)
     return p
 
 
-def fresh_session():
+def fresh_session(dtype="float32"):
     """Flagship config (cnn-mvae visuotactile+pose) with random params."""
     import jax
     import jax.numpy as jnp
@@ -55,7 +59,8 @@ def fresh_session():
     from mmdyn_tpu.serve import InferenceSession
 
     cfg = ProblemConfig(problem_type="seq_modeling", model_name="cnn-mvae",
-                        input_type="visuotactile", use_pose=True)
+                        input_type="visuotactile", use_pose=True,
+                        compute_dtype=dtype)
     model = setup_model(cfg.model_name, cross_modal=True,
                         latent_size=cfg.latent_size, use_pose=True,
                         architecture="cnn", conditional=False,
@@ -83,8 +88,9 @@ def main(argv=None):
 
     from mmdyn_tpu.serve import InferenceSession
 
-    session = (InferenceSession.from_run(args.run) if args.run
-               else fresh_session())
+    session = (InferenceSession.from_run(args.run,
+                                         compute_dtype=args.dtype)
+               if args.run else fresh_session(args.dtype))
     cfg = session.cfg
     modalities = ["visual", "tactile"] if cfg.cross_modal else [cfg.input_type]
     if cfg.use_pose:
