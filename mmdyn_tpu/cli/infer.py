@@ -54,8 +54,13 @@ def build_parser():
     return p
 
 
-def _load_frames(frames_dir, modalities):
-    """Sim-dump PNGs -> dict of (N, 64, 64, 3) float32 in [0, 1]."""
+def _load_frames(frames_dir, modalities, norms=None):
+    """Sim-dump PNGs -> dict of (N, 64, 64, 3) float32 in [0, 1].
+
+    When "pose" is requested and ``norms`` carries the run's min-max
+    constants (norms.json), per-frame poses are read from the dump's
+    data.json (position + orientation, data/compile.py:160-162) and
+    normalised the way training did."""
     import numpy as np
 
     from mmdyn_tpu.data.compile import (_bounding_box, _load_image,
@@ -70,6 +75,17 @@ def _load_frames(frames_dir, modalities):
     out = {}
     for m in modalities:
         if m == "pose":
+            data_json = frames_dir / "data.json"
+            if norms and "pose_min" in norms and data_json.exists():
+                with open(data_json) as f:
+                    info = json.load(f)
+                pose = np.concatenate(
+                    [np.asarray(info["position"], np.float32),
+                     np.asarray(info["orientation"], np.float32)], axis=1)
+                lo = np.asarray(norms["pose_min"], np.float32)
+                hi = np.asarray(norms["pose_max"], np.float32)
+                rng = np.where(hi - lo == 0, 1.0, hi - lo)
+                out[m] = ((pose - lo) / rng).astype(np.float32)
             continue
         paths = sorted_glob(m)
         if not paths:
@@ -137,7 +153,9 @@ def main(argv=None):
     out_dir = Path(args.out or Path(args.run) / "plot" / "infer")
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    frames = _load_frames(args.frames, modalities)
+    input_mods = (tuple(modalities) + ("pose",) if cfg.use_pose
+                  else tuple(modalities))
+    frames = _load_frames(args.frames, input_mods, norms=session.norms)
     n = len(next(iter(frames.values())))
     report = {"run": args.run, "frames": args.frames, "n_frames": n,
               "modalities": list(modalities), "batchsize": args.batchsize}

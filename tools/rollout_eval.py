@@ -120,7 +120,10 @@ def main(argv=None):
     if args.calibrate:
         session = session.freeze_bn(**_load_frames(args.calibrate, modalities))
 
-    frames = _load_frames(args.frames, modalities)  # (T, 64, 64, 3) each
+    input_mods = (tuple(modalities) + ("pose",) if cfg.use_pose
+                  else tuple(modalities))
+    frames = _load_frames(args.frames, input_mods,
+                          norms=session.norms)  # images (T, 64, 64, 3)
     t_total = len(next(iter(frames.values())))
     horizon = t_total - 1
     if args.max_steps:
