@@ -141,7 +141,8 @@ def main(argv=None):
     if args.export:
         manifest = export_session(session, args.export,
                                   batch_size=args.batchsize,
-                                  modalities=modalities, sample=args.sample)
+                                  modalities=modalities, sample=args.sample,
+                                  conditional=cfg.conditional)
         print(json.dumps({"export": args.export,
                           "platforms": manifest["platforms"],
                           "modalities": manifest["modalities"],

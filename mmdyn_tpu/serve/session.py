@@ -267,6 +267,18 @@ class InferenceSession:
             inputs = shard_batch(self.mesh, inputs)
         return inputs
 
+    def _gather_condition(self, condition):
+        if not self.cfg.conditional:
+            return None
+        if condition is None:
+            # fail with intent, not with a mid-trace shape error: the heads
+            # were trained on trunk+condition fan-in (models/vae.py:112-117)
+            raise ValueError(
+                f"this model is conditional (condition_dim="
+                f"{self.cfg.condition_dim}); pass condition=(B, "
+                f"{self.cfg.condition_dim})")
+        return jnp.asarray(condition)
+
     def predict(self, visual=None, tactile=None, pose=None, condition=None,
                 rng=None, sample=False, uint8_images=False):
         """One forward prediction from any present modality subset.
@@ -282,8 +294,7 @@ class InferenceSession:
         posterior (mu, logvar).
         """
         inputs = self._gather(visual, tactile, pose)
-        cond = (jnp.asarray(condition)
-                if (condition is not None and self.cfg.conditional) else None)
+        cond = self._gather_condition(condition)
         return self._jit_predict(self.variables, inputs, cond, rng,
                                  bool(sample), bool(uint8_images))
 
@@ -319,8 +330,7 @@ class InferenceSession:
         """Decode n prior samples z ~ N(0, I) (problems.py:548-559)."""
         if self.cfg.problem_type == "regression":
             raise ValueError("regression models have no latent space")
-        cond = (jnp.asarray(condition)
-                if (condition is not None and self.cfg.conditional) else None)
+        cond = self._gather_condition(condition)
         return self._jit_sample(self.variables, rng, int(n), cond)
 
     # ------------------------------------------------------------------
@@ -338,8 +348,7 @@ class InferenceSession:
             raise ValueError("rollout needs a generative model (the "
                              "regressor's pose output cannot be fed back)")
         inputs = self._gather(visual, tactile, pose)
-        cond = (jnp.asarray(condition)
-                if (condition is not None and self.cfg.conditional) else None)
+        cond = self._gather_condition(condition)
         if rng is None:
             rng = jax.random.PRNGKey(0)
         return self._jit_rollout(self.variables, inputs, cond, rng,

@@ -135,6 +135,11 @@ class TestPredict:
             np.round(np.asarray(f["visual"]) * 255).astype(np.uint8))
         np.testing.assert_allclose(q["mu"], f["mu"], rtol=1e-6)
 
+    def test_conditional_model_requires_condition(self):
+        s = _mvae_session(use_pose=False, conditional=True, condition_dim=3)
+        with pytest.raises(ValueError, match="conditional"):
+            s.predict(visual=_img())
+
     def test_requires_some_modality(self):
         s = _mvae_session()
         with pytest.raises(ValueError):
