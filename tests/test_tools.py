@@ -239,3 +239,54 @@ class TestRolloutEval:
         assert all(np.isfinite(x) for x in vis["rollout_bce"])
         assert (tmp_path / "strip.png").exists()
         assert json.loads((tmp_path / "r.json").read_text())["horizon"] == 4
+
+
+class TestCounterfactual:
+    def test_sweep_moves_predictions(self, tmp_path):
+        import pickle
+
+        import jax
+        import jax.numpy as jnp
+
+        from mmdyn_tpu.data.synthetic import make_synthetic_dumps
+        from mmdyn_tpu.models.factory import setup_model
+        from mmdyn_tpu.problems.base import ProblemConfig, make_optimizer
+        from mmdyn_tpu.train.checkpoint import save_checkpoint
+        from mmdyn_tpu.train.state import create_train_state
+        from tools.counterfactual import main
+
+        cfg = ProblemConfig(problem_type="seq_modeling",
+                            model_name="cnn-mvae",
+                            input_type="visuotactile", conditional=True,
+                            condition_dim=2, latent_size=8, batchsize=2)
+        model = setup_model("cnn-mvae", cross_modal=True, latent_size=8,
+                            use_pose=False, architecture="cnn",
+                            conditional=True, categorical_conditions=False,
+                            condition_dim=2, compute_dtype="float32")
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "reparam": jax.random.PRNGKey(2)}
+        img = jnp.zeros((2, 64, 64, 3))
+        params = model.init(rngs, [img, img], None,
+                            jnp.zeros((2, 2)))["params"]
+        state = create_train_state(params, make_optimizer(cfg))
+        run = tmp_path / "run_cvae"
+        (run / "checkpoint").mkdir(parents=True)
+        with open(run / "problem.pkl", "wb") as f:
+            pickle.dump({"problem_type": "seq_modeling",
+                         "model_name": "cnn-mvae",
+                         "input_type": "visuotactile", "conditional": True,
+                         "latent_size": 8, "batchsize": 2,
+                         "dataset_path": "unused"}, f)
+        save_checkpoint(run / "checkpoint", state, 0, 1.0, name="latest")
+
+        make_synthetic_dumps(tmp_path / "ds", n_sequences=1, seq_length=4)
+        seq = next((tmp_path / "ds").glob("**/visual_0000.png")).parent
+        report = main(["--run", str(run), "--frames", str(seq),
+                       "--sweep", "0,1",
+                       "--strip", str(tmp_path / "cf.png")])
+        assert report["condition_dim"] == 2
+        assert report["visual_l1_vs_base"][0] == 0.0      # base vs itself
+        assert report["visual_l1_vs_base"][1] > 0.0       # condition is live
+        assert report["mu_l2_vs_base"][1] > 0.0
+        assert (tmp_path / "cf.png").exists()
