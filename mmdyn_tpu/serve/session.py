@@ -261,6 +261,13 @@ class InferenceSession:
             inputs["pose"] = jnp.asarray(pose)
         if not inputs:
             raise ValueError("at least one input modality is required")
+        if (not self.cfg.is_mvae and self.cfg.problem_type != "regression"
+                and self.cfg.input_type not in inputs):
+            # a single-modality VAE's encoder was trained on input_type;
+            # feeding the other image stream would silently decode garbage
+            raise ValueError(f"this {self.cfg.model_name} was trained on "
+                             f"'{self.cfg.input_type}' input; got "
+                             f"{sorted(inputs)}")
         if self.mesh is not None:
             # shard the serving batch across the mesh; jit picks the layout
             # up from the inputs and runs the program SPMD

@@ -135,6 +135,23 @@ class TestPredict:
             np.round(np.asarray(f["visual"]) * 255).astype(np.uint8))
         np.testing.assert_allclose(q["mu"], f["mu"], rtol=1e-6)
 
+    def test_single_modality_vae_rejects_wrong_stream(self):
+        cfg = ProblemConfig(problem_type="seq_modeling",
+                            model_name="cnn-vae", input_type="tactile",
+                            latent_size=8, batchsize=2)
+        model = setup_model("cnn-vae", cross_modal=False, latent_size=8,
+                            architecture="cnn", conditional=False,
+                            categorical_conditions=False, condition_dim=None,
+                            input_dim=64 * 64, compute_dtype="float32")
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "reparam": jax.random.PRNGKey(2)}
+        params = model.init(rngs, jnp.zeros((2, 64, 64, 3)), None)["params"]
+        s = InferenceSession(cfg, params)
+        with pytest.raises(ValueError, match="tactile"):
+            s.predict(visual=_img())
+        assert s.predict(tactile=_img())["tactile"].shape == (2, 64, 64, 3)
+
     def test_conditional_model_requires_condition(self):
         s = _mvae_session(use_pose=False, conditional=True, condition_dim=3)
         with pytest.raises(ValueError, match="conditional"):
