@@ -149,6 +149,48 @@ class InferenceSession:
         return cls(cfg, params, parity=parity, mesh=mesh, norms=norms)
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_torch_ckpt(cls, ckpt_path, problem_type="seq_modeling",
+                        model_name="cnn-mvae", input_type="visuotactile",
+                        conditional=False, parity=False, mesh=None,
+                        norms=None, compute_dtype="float32"):
+        """Serve a REFERENCE-trained torch checkpoint directly.
+
+        Takes the reference's ``torch.save({'model': state_dict, ...})``
+        files (problems.py:580-586) and builds a session on the converted
+        weights (utils/torch_compat.py handles the NCHW->NHWC and
+        correlated-deconv layout moves) — a reference user's existing
+        models run on TPU with no retraining. latent_size and use_pose are
+        inferred from the state_dict; condition_dim from the head fan-in.
+        """
+        import torch
+
+        from mmdyn_tpu.utils.torch_compat import from_torch_state_dict
+
+        blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        sd = blob["model"] if isinstance(blob, dict) and "model" in blob else blob
+        sd = {k: (v.detach().numpy() if hasattr(v, "detach") else
+                  np.asarray(v)) for k, v in sd.items()}
+        params = from_torch_state_dict(model_name, sd)
+
+        if problem_type == "regression":
+            latent = 256  # unused
+            use_pose = False
+        else:
+            enc = params.get("visual_encoder") or params.get("encoder")
+            latent = int(enc["linear_means"]["kernel"].shape[1])
+            use_pose = "pose_encoder" in params
+        import dataclasses
+
+        cfg = ProblemConfig(problem_type=problem_type, model_name=model_name,
+                            input_type=input_type, use_pose=use_pose,
+                            conditional=conditional, latent_size=latent,
+                            compute_dtype=compute_dtype)
+        cfg = dataclasses.replace(
+            cfg, condition_dim=_infer_condition_dim(cfg, params))
+        return cls(cfg, params, parity=parity, mesh=mesh, norms=norms)
+
+    # ------------------------------------------------------------------
     # pure prediction cores (one jit cache entry per presence signature)
 
     def _rngs(self, rng):

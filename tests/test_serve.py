@@ -528,6 +528,31 @@ class TestFromRun:
         with pytest.raises(ValueError):
             s.denormalize_pose(np.zeros((1, 7)))
 
+    def test_from_torch_ckpt_roundtrip(self, tmp_path):
+        import torch
+
+        from mmdyn_tpu.utils.torch_compat import to_torch_state_dict
+
+        s = _mvae_session(use_pose=True, latent=8)
+        sd = to_torch_state_dict(
+            "cnn-mvae",
+            jax.tree_util.tree_map(np.asarray,
+                                   jax.device_get(s.params)))
+        ckpt = tmp_path / "epoch_5.ckpt"
+        torch.save({"model": {k: torch.tensor(np.ascontiguousarray(v))
+                              for k, v in sd.items()},
+                    "loss": 1.0, "epoch": 5}, ckpt)
+
+        t = InferenceSession.from_torch_ckpt(ckpt)
+        assert t.cfg.latent_size == 8          # inferred from the weights
+        assert t.cfg.use_pose is True
+        v = _img()
+        a = s.predict(visual=v)
+        b = t.predict(visual=v)
+        for k in ("visual", "tactile", "pose", "mu"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_missing_checkpoint_raises(self, tmp_path):
         run = tmp_path / "empty_run"
         (run / "checkpoint").mkdir(parents=True)
