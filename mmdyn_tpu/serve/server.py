@@ -12,6 +12,8 @@ Endpoints (wire format: .npz bodies — `np.savez` on the client,
                                  npz out (predictions + mu/logvar)
     POST /rollout?steps=N     -> npz in (batch-1 initial state)
                                  npz out ((N, 1, ...) trajectories)
+    POST /sample?n=N[&seed=S] -> npz in (empty or {condition})
+                                 npz out (N prior-sample decodes)
 
 Images travel as uint8 in both directions (quantized on device on the way
 out — see docs/PARITY.md serving table for why payload bytes dominate
@@ -148,6 +150,28 @@ class ServingApp:
         self._requests += 1
         return _npz_bytes(out)
 
+    def sample(self, body: bytes, n: int, seed: int = 0) -> bytes:
+        import jax
+
+        cond = None
+        if body:
+            npz = np.load(io.BytesIO(body), allow_pickle=False)
+            if "condition" in npz:
+                if not self.cfg.conditional:
+                    raise ValueError("model is not conditional")
+                cond = np.asarray(npz["condition"], np.float32)
+                if cond.shape[0] != n:
+                    raise ValueError(f"condition batch {cond.shape[0]} != n={n}")
+        if self.cfg.problem_type == "regression":
+            raise ValueError("regression models have no latent space")
+        with self._lock:
+            out = self.session.sample_prior(int(n), jax.random.PRNGKey(seed),
+                                            condition=cond)
+            out = jax.device_get(out)
+            self._requests += 1
+            self._batches += 1
+        return _npz_bytes({k: np.asarray(v) for k, v in out.items()})
+
     def rollout(self, body: bytes, steps: int, sample: bool = False) -> bytes:
         npz = np.load(io.BytesIO(body), allow_pickle=False)
         inputs, cond, n = self._parse_inputs(npz)
@@ -264,6 +288,9 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path == "/rollout":
                 steps = int(q.get("steps", ["10"])[0])
                 out = self.app.rollout(body, steps, sample=sample)
+            elif url.path == "/sample":
+                out = self.app.sample(body, int(q.get("n", ["16"])[0]),
+                                      seed=int(q.get("seed", ["0"])[0]))
             else:
                 return self._reply_json(404, {"error": "unknown path"})
         except ValueError as e:

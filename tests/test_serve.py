@@ -265,6 +265,13 @@ class TestMeshServing:
         np.testing.assert_allclose(np.asarray(o1["visual"]),
                                    np.asarray(o3["visual"]), atol=1e-5)
 
+        # multi-axis (2, 4) replica/data layout serves identically
+        multi = InferenceSession(cfg, params,
+                                 mesh=make_mesh(mesh_shape=(2, 4)))
+        o4 = multi.predict(visual=v, tactile=t)
+        np.testing.assert_allclose(np.asarray(o1["mu"]), np.asarray(o4["mu"]),
+                                   atol=1e-5)
+
 
 class TestRollout:
     def test_shapes_and_first_step_matches_predict(self):
@@ -435,6 +442,20 @@ class TestHttpServing:
             diff = np.abs(results[i]["visual"].astype(np.int16)
                           - np.asarray(solo["visual"]).astype(np.int16))
             assert diff.max() <= 1
+
+    def test_sample_endpoint(self):
+        import io
+
+        from mmdyn_tpu.serve.server import ServingApp
+
+        s = _mvae_session(use_pose=False, latent=8)
+        app = ServingApp(s, batch_size=2)
+        out = np.load(io.BytesIO(app.sample(b"", 4, seed=1)))
+        assert out["visual"].shape == (4, 64, 64, 3)
+        assert out["tactile"].shape == (4, 64, 64, 3)
+        # seeded: deterministic across calls
+        out2 = np.load(io.BytesIO(app.sample(b"", 4, seed=1)))
+        np.testing.assert_array_equal(out["visual"], out2["visual"])
 
     def test_uint8_request_payload_accepted(self):
         from mmdyn_tpu.serve.server import ServingApp
