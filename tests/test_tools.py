@@ -290,3 +290,19 @@ class TestCounterfactual:
         assert report["visual_l1_vs_base"][1] > 0.0       # condition is live
         assert report["mu_l2_vs_base"][1] > 0.0
         assert (tmp_path / "cf.png").exists()
+
+
+class TestBenchHttp:
+    def test_smoke_two_clients(self, capsys):
+        import json as _json
+
+        from tools.bench_http import main
+
+        main(["--clients", "2", "--requests", "2", "--batchsize", "2",
+              "--wait-ms", "50", "--calibrate-frames", "2"])
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        assert len(lines) == 2
+        off, on = (_json.loads(l) for l in lines)
+        assert off["requests"] == on["requests"] == 4
+        assert on["coalescing"] >= off["coalescing"]
