@@ -28,7 +28,18 @@ from pathlib import Path
 
 def build_parser():
     p = argparse.ArgumentParser(description="Inference on a trained run")
-    p.add_argument("--run", required=True, type=str)
+    p.add_argument("--run", default=None, type=str,
+                   help="run directory (or use --torch-ckpt)")
+    p.add_argument("--torch-ckpt", default=None, type=str,
+                   help="serve a reference-trained torch .ckpt directly")
+    p.add_argument("--model-name", default="cnn-mvae", type=str,
+                   help="(with --torch-ckpt) reference model name")
+    p.add_argument("--input-type", default="visuotactile", type=str,
+                   help="(with --torch-ckpt) training input type")
+    p.add_argument("--problem-type", default="seq_modeling", type=str,
+                   help="(with --torch-ckpt) problem the ckpt was trained on")
+    p.add_argument("--conditional", action="store_true", default=False,
+                   help="(with --torch-ckpt) conditional (CVAE) checkpoint")
     p.add_argument("--frames", default=None, type=str,
                    help="sequence dump dir (visual_*.png [tactile_*, seg_*])")
     p.add_argument("--out", default=None, type=str,
@@ -129,8 +140,17 @@ def main(argv=None):
     from mmdyn_tpu.serve import InferenceSession, export_session
 
     mesh = make_mesh(args.num_devices) if args.num_devices else None
-    session = InferenceSession.from_run(args.run, parity=args.parity,
-                                        checkpoint=args.checkpoint, mesh=mesh)
+    if bool(args.run) == bool(args.torch_ckpt):
+        raise SystemExit("exactly one of --run / --torch-ckpt is required")
+    if args.torch_ckpt:
+        session = InferenceSession.from_torch_ckpt(
+            args.torch_ckpt, problem_type=args.problem_type,
+            model_name=args.model_name, input_type=args.input_type,
+            conditional=args.conditional, parity=args.parity, mesh=mesh)
+    else:
+        session = InferenceSession.from_run(args.run, parity=args.parity,
+                                            checkpoint=args.checkpoint,
+                                            mesh=mesh)
     cfg = session.cfg
     modalities = (("visual", "tactile") if cfg.cross_modal
                   else (cfg.input_type,))
@@ -151,6 +171,8 @@ def main(argv=None):
 
     if not args.frames:
         raise SystemExit("--frames or --export is required")
+    if args.out is None and args.run is None:
+        raise SystemExit("--out is required with --torch-ckpt")
     out_dir = Path(args.out or Path(args.run) / "plot" / "infer")
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -158,7 +180,8 @@ def main(argv=None):
                   else tuple(modalities))
     frames = _load_frames(args.frames, input_mods, norms=session.norms)
     n = len(next(iter(frames.values())))
-    report = {"run": args.run, "frames": args.frames, "n_frames": n,
+    report = {"run": args.run or args.torch_ckpt, "frames": args.frames,
+              "n_frames": n,
               "modalities": list(modalities), "batchsize": args.batchsize}
 
     if args.rollout:

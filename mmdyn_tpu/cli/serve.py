@@ -23,7 +23,14 @@ import os
 
 def build_parser():
     p = argparse.ArgumentParser(description="HTTP serving for a trained run")
-    p.add_argument("--run", required=True, type=str)
+    p.add_argument("--run", default=None, type=str,
+                   help="run directory (or use --torch-ckpt)")
+    p.add_argument("--torch-ckpt", default=None, type=str,
+                   help="serve a reference-trained torch .ckpt directly")
+    p.add_argument("--model-name", default="cnn-mvae", type=str)
+    p.add_argument("--input-type", default="visuotactile", type=str)
+    p.add_argument("--problem-type", default="seq_modeling", type=str)
+    p.add_argument("--conditional", action="store_true", default=False)
     p.add_argument("--host", default="127.0.0.1", type=str)
     p.add_argument("--port", default=8471, type=int)
     p.add_argument("--batchsize", default=64, type=int,
@@ -57,8 +64,17 @@ def main(argv=None):
     from mmdyn_tpu.serve.server import make_server
 
     mesh = make_mesh(args.num_devices) if args.num_devices else None
-    session = InferenceSession.from_run(args.run, parity=args.parity,
-                                        checkpoint=args.checkpoint, mesh=mesh)
+    if bool(args.run) == bool(args.torch_ckpt):
+        raise SystemExit("exactly one of --run / --torch-ckpt is required")
+    if args.torch_ckpt:
+        session = InferenceSession.from_torch_ckpt(
+            args.torch_ckpt, problem_type=args.problem_type,
+            model_name=args.model_name, input_type=args.input_type,
+            conditional=args.conditional, parity=args.parity, mesh=mesh)
+    else:
+        session = InferenceSession.from_run(args.run, parity=args.parity,
+                                            checkpoint=args.checkpoint,
+                                            mesh=mesh)
     if args.calibrate:
         from mmdyn_tpu.cli.infer import _load_frames
         mods = (("visual", "tactile") if session.cfg.cross_modal
@@ -74,7 +90,8 @@ def main(argv=None):
     server = make_server(session, host=args.host, port=args.port,
                          batch_size=args.batchsize,
                          microbatch_wait_ms=args.microbatch_wait_ms)
-    print(f"serving {args.run} on http://{args.host}:{server.server_port} "
+    print(f"serving {args.run or args.torch_ckpt} on "
+          f"http://{args.host}:{server.server_port} "
           f"(batch {args.batchsize}, model {session.cfg.model_name})")
     try:
         server.serve_forever()
