@@ -10,8 +10,8 @@ Endpoints (wire format: .npz bodies — `np.savez` on the client,
     GET  /healthz             -> JSON: model/problem/batch configuration
     POST /predict[?sample=1]  -> npz in  (visual/tactile/pose [, condition])
                                  npz out (predictions + mu/logvar)
-    POST /rollout?steps=N     -> npz in (batch-1 initial state)
-                                 npz out ((N, 1, ...) trajectories)
+    POST /rollout?steps=N     -> npz in (initial states, batch B)
+                                 npz out ((N, B, ...) trajectories)
     POST /sample?n=N[&seed=S] -> npz in (empty or {condition})
                                  npz out (N prior-sample decodes)
 
@@ -175,8 +175,9 @@ class ServingApp:
     def rollout(self, body: bytes, steps: int, sample: bool = False) -> bytes:
         npz = np.load(io.BytesIO(body), allow_pickle=False)
         inputs, cond, n = self._parse_inputs(npz)
-        if n != 1:
-            raise ValueError("rollout serves batch-1 initial states")
+        if n > self.batch_size:
+            raise ValueError(f"rollout batch {n} exceeds serving batch size "
+                             f"{self.batch_size}")
         import jax
 
         with self._lock:
@@ -190,16 +191,20 @@ class ServingApp:
 class _MicroBatcher:
     """Coalesce concurrent predict requests into one device batch.
 
-    A single worker thread takes the first queued request, then gathers
-    same-signature requests until the batch fills or ``wait_s`` elapses;
-    one padded predict serves the whole group and each caller gets its
-    row slice back.
+    A single worker thread drains the arrival queue into per-signature
+    pending lists, then serves the signature whose OLDEST request has
+    waited longest (FIFO across signatures — a sustained stream of one
+    signature cannot starve another). A group closes when its rows fill
+    the serving batch or ``wait_s`` has elapsed since its oldest arrival;
+    one padded predict serves the group and each caller gets its row
+    slice back.
     """
 
     def __init__(self, app: "ServingApp", wait_s: float):
         self.app = app
         self.wait_s = wait_s
         self.q = queue.Queue()
+        self._pending = {}          # key -> list of request tuples
         threading.Thread(target=self._loop, daemon=True,
                          name="mmdyn-microbatcher").start()
 
@@ -207,30 +212,50 @@ class _MicroBatcher:
         key = (tuple(sorted(inputs)), cond is not None, bool(sample))
         done = threading.Event()
         slot = {}
-        self.q.put((key, inputs, cond, n, done, slot))
+        self.q.put((key, inputs, cond, n, done, slot, time.monotonic()))
         done.wait()
         if "err" in slot:
             raise slot["err"]
         return slot["out"]
 
+    def _drain(self, timeout):
+        """Move arrivals into the per-key pending lists; block up to
+        ``timeout`` for the first one when nothing is pending."""
+        try:
+            item = self.q.get(timeout=timeout)
+        except queue.Empty:
+            return
+        self._pending.setdefault(item[0], []).append(item)
+        while True:
+            try:
+                item = self.q.get_nowait()
+            except queue.Empty:
+                return
+            self._pending.setdefault(item[0], []).append(item)
+
     def _group(self):
-        first = self.q.get()
-        group, rows = [first], first[3]
-        deadline = time.monotonic() + self.wait_s
+        while not self._pending:
+            self._drain(timeout=3600.0)
+        # serve the signature with the oldest waiting request
+        key = min(self._pending, key=lambda k: self._pending[k][0][6])
+        deadline = self._pending[key][0][6] + self.wait_s
+        rows = sum(it[3] for it in self._pending[key])
         while rows < self.app.batch_size:
             timeout = deadline - time.monotonic()
             if timeout <= 0:
                 break
-            try:
-                nxt = self.q.get(timeout=timeout)
-            except queue.Empty:
-                break
-            if nxt[0] == first[0] and rows + nxt[3] <= self.app.batch_size:
-                group.append(nxt)
-                rows += nxt[3]
+            self._drain(timeout=timeout)
+            rows = sum(it[3] for it in self._pending[key])
+        group, rows = [], 0
+        stay = []
+        for it in self._pending.pop(key):
+            if rows + it[3] <= self.app.batch_size:
+                group.append(it)
+                rows += it[3]
             else:
-                self.q.put(nxt)   # different signature / no room: requeue
-                break
+                stay.append(it)     # overflow: next group, keeps its age
+        if stay:
+            self._pending[key] = stay
         return group
 
     def _loop(self):
@@ -244,14 +269,14 @@ class _MicroBatcher:
                 total = sum(g[3] for g in group)
                 out = self.app._run_batch(inputs, cond, group[0][0][2], total)
                 off = 0
-                for _, _, _, n, done, slot in group:
+                for _, _, _, n, done, slot, _ in group:
                     slot["out"] = {k: v[off:off + n] for k, v in out.items()}
                     off += n
                     done.set()
             except Exception as e:   # propagate to every waiter
-                for *_rest, done, slot in group:
-                    slot["err"] = e
-                    done.set()
+                for item in group:
+                    item[5]["err"] = e
+                    item[4].set()
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -443,6 +443,42 @@ class TestHttpServing:
                           - np.asarray(solo["visual"]).astype(np.int16))
             assert diff.max() <= 1
 
+    def test_microbatching_mixed_signatures_all_served(self):
+        import io
+        import threading
+
+        from mmdyn_tpu.serve.server import ServingApp
+
+        s = _mvae_session(use_pose=False, latent=8)
+        frozen = s.freeze_bn(visual=_img(10, 8), tactile=_img(11, 8))
+        app = ServingApp(frozen, batch_size=4, microbatch_wait_ms=150.0)
+
+        def body(**arrays):
+            buf = io.BytesIO()
+            np.savez(buf, **{k: np.asarray(v) for k, v in arrays.items()})
+            return buf.getvalue()
+
+        done = {}
+
+        def post(i, arrays):
+            done[i] = np.load(io.BytesIO(app.predict(body(**arrays))))
+
+        # two signatures interleaved: visual-only and visual+tactile —
+        # per-signature FIFO groups must serve BOTH
+        reqs = [(0, {"visual": _img(0, 1)}),
+                (1, {"visual": _img(1, 1), "tactile": _img(2, 1)}),
+                (2, {"visual": _img(3, 1)}),
+                (3, {"visual": _img(4, 1), "tactile": _img(5, 1)})]
+        threads = [threading.Thread(target=post, args=r) for r in reqs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert sorted(done) == [0, 1, 2, 3]
+        for i, arrays in reqs:
+            assert done[i]["visual"].shape == (1, 64, 64, 3)
+        assert app._requests == 4
+
     def test_sample_endpoint(self):
         import io
 
