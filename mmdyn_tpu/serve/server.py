@@ -113,6 +113,9 @@ class ServingApp:
             if not self.cfg.conditional:
                 raise ValueError("model is not conditional")
             cond = np.asarray(npz["condition"], np.float32)
+            if cond.shape[0] != n:
+                raise ValueError(f"condition batch {cond.shape[0]} != "
+                                 f"input batch {n}")
         return inputs, cond, n
 
     def _pad(self, arr: np.ndarray, to: int) -> np.ndarray:
@@ -147,7 +150,8 @@ class ServingApp:
             out = self._batcher.submit(inputs, cond, sample, n)
         else:
             out = self._run_batch(inputs, cond, sample, n)
-        self._requests += 1
+        with self._lock:   # counter only; compute lock already released
+            self._requests += 1
         return _npz_bytes(out)
 
     def sample(self, body: bytes, n: int, seed: int = 0) -> bytes:
