@@ -493,6 +493,15 @@ class TestHttpServing:
         out2 = np.load(io.BytesIO(app.sample(b"", 4, seed=1)))
         np.testing.assert_array_equal(out["visual"], out2["visual"])
 
+    def test_cli_requires_exactly_one_source(self):
+        from mmdyn_tpu.cli import infer, serve
+
+        for mod in (infer, serve):
+            with pytest.raises(SystemExit):
+                mod.main(["--frames", "x"] if mod is infer else [])
+            with pytest.raises(SystemExit):
+                mod.main(["--run", "a", "--torch-ckpt", "b"])
+
     def test_uint8_request_payload_accepted(self):
         from mmdyn_tpu.serve.server import ServingApp
 
