@@ -310,3 +310,32 @@ def test_sample_point_on_mesh_with_meshio():
     lo = mesh.vertices.min(0) * 2 + np.array([1, 2, 3])
     hi = mesh.vertices.max(0) * 2 + np.array([1, 2, 3])
     assert np.all(point >= lo - 1e-6) and np.all(point <= hi + 1e-6)
+
+
+def test_exp1_apply_sampled_position(tmp_path):
+    """--apply-sampled-position actually uses the sampled Gaussian drop
+    (the reference samples one and discards it, exp_1_flat_plane.py:83-108);
+    on the analytic engine the logged trajectory then has nonzero x/y."""
+    from mmdyn_tpu.cli.exp_1_flat_plane import main
+
+    logdir = tmp_path / "logs"
+    main(["--engine", "analytic", "--headless", "--n_objects", "1",
+          "--trial_per_obj", "2", "--n_timesteps", "30", "--interval", "10",
+          "--fast-shading", "--logdir", str(logdir), "--seed", "5",
+          "--apply-sampled-position", "--drop-std", "0.2"])
+    seqs = sorted(logdir.glob("**/sequence_*"))
+    assert seqs
+    xy = []
+    for seq in seqs:
+        data = json.loads((seq / "data.json").read_text())
+        xy.append(np.abs(np.asarray(data["position"])[:, :2]).max())
+    assert max(xy) > 0.01, "sampled drop position was not applied"
+
+    # parity default: every drop from exactly (0, 0, 1.5)
+    main(["--engine", "analytic", "--headless", "--n_objects", "1",
+          "--trial_per_obj", "1", "--n_timesteps", "30", "--interval", "10",
+          "--fast-shading", "--logdir", str(tmp_path / "logs0"),
+          "--seed", "5"])
+    seq0 = sorted((tmp_path / "logs0").glob("**/sequence_*"))[0]
+    data0 = json.loads((seq0 / "data.json").read_text())
+    assert np.abs(np.asarray(data0["position"])[:, :2]).max() < 1e-9
