@@ -47,6 +47,13 @@ parser.add_argument("--engine", type=str, default="auto",
                     choices=["auto", "pybullet", "analytic"])
 parser.add_argument("--n_objects", type=int, default=8)
 parser.add_argument("--seed", type=int, default=None)
+parser.add_argument("--apply-sampled-position", action="store_true",
+                    default=False,
+                    help="actually drop from the sampled Gaussian position "
+                         "(the reference discards it; parity default keeps "
+                         "that quirk)")
+parser.add_argument("--drop-std", type=float, default=0.05,
+                    help="Gaussian std (m) of the sampled drop position")
 parser.add_argument("--workers", type=int, default=1,
                     help="Parallel trial processes (trials are independent; "
                     "each uses its own engine instance)")
@@ -81,13 +88,17 @@ def run_trial(args, info, k, engine):
     COM_shift = info["center_mass"] - np.array([0, 0, info["mesh_height"] / 4])
     position, orientation = sample_pose(init_pos, random_chance=0.8,
                                         random_orn=True, gaussian_mean=0,
-                                        gaussian_std=0.05)
+                                        gaussian_std=args.drop_std)
     obj_id = spawn_object(backend, info,
                           position=init_pos - info["center_mass"],
                           orientation=[0, 0, 0, 1], mass=1, color=color,
                           COM_shift=COM_shift)
-    pos, _ = backend.get_pose(obj_id)
-    backend.set_pose(obj_id, pos, orientation)
+    if args.apply_sampled_position:
+        backend.set_pose(obj_id, position - info["center_mass"], orientation)
+    else:
+        # reference quirk: sampled position discarded, orientation applied
+        pos, _ = backend.get_pose(obj_id)
+        backend.set_pose(obj_id, pos, orientation)
 
     _, _, _, seg_img, _ = sensor.get_sensor_image()
     if sensor.is_blank(seg_img):

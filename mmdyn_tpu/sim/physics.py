@@ -206,8 +206,17 @@ class AnalyticBackend(PhysicsBackend):
 
             for support_id, n, plane_pt, extents, rot in self._support_planes(b):
                 reach = self._reach_along(b, n)
-                d = float(np.dot(b.position - plane_pt, n)) - reach
+                center_height = float(np.dot(b.position - plane_pt, n))
+                d = center_height - reach
                 if d >= 0:
+                    continue
+                if center_height <= 0:
+                    # the body's CENTER is at/below the face plane: it is on
+                    # the other side of (or inside) the support body, not
+                    # resting on its top face. Without this guard a movable
+                    # body below a box (exp_3's mass-100 sensor under the
+                    # object) is "resolved" upward through it every step and
+                    # both bodies leapfrog to infinity.
                     continue
                 if extents is not None:
                     # lateral containment in the support face plane

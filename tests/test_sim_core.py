@@ -184,6 +184,23 @@ class TestAnalyticPhysics:
         assert ball in contacts.unique_ids
         assert contacts.total_force(ball) == pytest.approx(0.5 * 10, rel=0.2)
 
+    def test_box_settles_on_movable_box(self):
+        """Regression: a MOVABLE support box (exp_3's mass-100 shocked
+        sensor) used to 'collide' with the falling box's top face from
+        below, leapfrogging both bodies upward forever (the exp_3 corpus
+        corrupter). A top-face contact requires the body's center above
+        the face plane."""
+        backend = AnalyticBackend()
+        sensor_box = backend.add_box([0.75, 0.75, 0.5], [0, 0, 0.5],
+                                     fixed=False, mass=100.0)
+        box = backend.add_box([0.1, 0.1, 0.12], [0, 0, 1.3], mass=1.0)
+        for _ in range(1000):
+            backend.step()
+        pos, _ = backend.get_pose(box)
+        spos, _ = backend.get_pose(sensor_box)
+        assert pos[2] == pytest.approx(1.0 + 0.12, abs=0.02)
+        assert spos[2] == pytest.approx(0.5, abs=0.02)
+
     def test_sphere_falls_to_ground_plane_beside_box(self):
         backend = AnalyticBackend()
         backend.add_box([0.5, 0.5, 0.5], [0, 0, 0.5], fixed=True)
