@@ -34,10 +34,11 @@ PARAMS = "params.msgpack"
 
 
 def export_session(session, out_dir, batch_size=1,
-                   modalities=("visual", "tactile"), conditional=False,
+                   modalities=None, conditional=False,
                    sample=False, platforms=None):
     """Serialize the session's predictor for a fixed batch size.
 
+    ``modalities=None`` derives the input set from the session's config.
     Returns the manifest dict. ``platforms=None`` tries ("cpu", "tpu") and
     falls back to the current backend if multi-platform lowering fails.
     """
@@ -49,7 +50,19 @@ def export_session(session, out_dir, batch_size=1,
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     cfg = session.cfg
+    if modalities is None:
+        modalities = (("visual", "tactile") if cfg.cross_modal
+                      else (cfg.input_type,))
+        if cfg.use_pose:
+            modalities = modalities + ("pose",)
     modalities = tuple(sorted(modalities))
+    if (not cfg.is_mvae and cfg.problem_type != "regression"
+            and tuple(m for m in modalities if m != "pose")
+            != (cfg.input_type,)):
+        # same guard as InferenceSession._gather: a single-modality VAE
+        # artifact must take exactly the stream it was trained on
+        raise ValueError(f"this {cfg.model_name} was trained on "
+                         f"'{cfg.input_type}' input; got {modalities}")
 
     specs = {}
     for m in modalities:
@@ -114,8 +127,16 @@ class ExportedPredictor:
         import jax.numpy as jnp
 
         want = set(self.manifest["modalities"])
-        got = {k: jnp.asarray(v, jnp.float32)
-               for k, v in inputs.items() if v is not None}
+        got = {}
+        for k, v in inputs.items():
+            if v is None:
+                continue
+            arr = np.asarray(v)
+            if arr.dtype == np.uint8:
+                # same wire convention as the HTTP server: uint8 images are
+                # 0-255 and must be scaled before the encoder sees them
+                arr = arr.astype(np.float32) / 255.0
+            got[k] = jnp.asarray(arr, jnp.float32)
         if set(got) != want:
             raise ValueError(f"artifact expects modalities {sorted(want)}, "
                              f"got {sorted(got)}")

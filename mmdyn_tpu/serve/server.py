@@ -66,10 +66,15 @@ class ServingApp:
         self._lock = threading.Lock()   # one chip: serialize compute
         self._requests = 0
         self._batches = 0
-        # warm the AOT cache for the serving batch size
-        session.aot_predict(self.batch_size, tuple(self.modalities),
-                            conditional=self.cfg.conditional,
-                            uint8_images=self.cfg.problem_type != "regression")
+        # warm the ACTUAL serving path (session.predict's jit cache) at the
+        # padded batch shape so the first client request never compiles
+        warm = {m: (np.zeros((self.batch_size, 7), np.float32) if m == "pose"
+                    else np.zeros((self.batch_size, 64, 64, 3), np.float32))
+                for m in self.modalities}
+        cond = (np.zeros((self.batch_size, self.cfg.condition_dim),
+                         np.float32) if self.cfg.conditional else None)
+        self._run_batch(warm, cond, sample=False, n=1)
+        self._batches = 0
         self._batcher = (_MicroBatcher(self, microbatch_wait_ms / 1e3)
                          if microbatch_wait_ms > 0 else None)
 
@@ -98,6 +103,12 @@ class ServingApp:
             if m not in npz:
                 continue
             arr = np.asarray(npz[m])
+            want = (7,) if m == "pose" else (64, 64, 3)
+            if arr.ndim != 1 + len(want) or arr.shape[1:] != want:
+                # validate BEFORE grouping: a malformed request must not
+                # poison a coalesced microbatch or trigger a fresh trace
+                raise ValueError(f"{m} must be (B,{','.join(map(str, want))});"
+                                 f" got {arr.shape}")
             if arr.dtype == np.uint8:
                 arr = arr.astype(np.float32) / 255.0
             else:
@@ -108,6 +119,8 @@ class ServingApp:
                 raise ValueError("modalities disagree on batch size")
         if not inputs:
             raise ValueError(f"need at least one of {self.modalities}")
+        if n == 0:
+            raise ValueError("empty batch")
         cond = None
         if "condition" in npz:
             if not self.cfg.conditional:
@@ -168,9 +181,14 @@ class ServingApp:
                     raise ValueError(f"condition batch {cond.shape[0]} != n={n}")
         if self.cfg.problem_type == "regression":
             raise ValueError("regression models have no latent space")
+        if not 0 < n <= max(256, self.batch_size):
+            # n is a static compile shape: bound it so clients cannot grow
+            # the jit cache / device memory without limit
+            raise ValueError(f"n must be in (0, {max(256, self.batch_size)}]")
         with self._lock:
             out = self.session.sample_prior(int(n), jax.random.PRNGKey(seed),
-                                            condition=cond)
+                                            condition=cond,
+                                            uint8_images=True)
             out = jax.device_get(out)
             self._requests += 1
             self._batches += 1
@@ -182,11 +200,14 @@ class ServingApp:
         if n > self.batch_size:
             raise ValueError(f"rollout batch {n} exceeds serving batch size "
                              f"{self.batch_size}")
+        if not 0 < steps <= 1000:
+            # steps is a static compile shape (scan length): bound it
+            raise ValueError("steps must be in (0, 1000]")
         import jax
 
         with self._lock:
             traj = self.session.rollout(int(steps), **inputs, condition=cond,
-                                        sample=sample)
+                                        sample=sample, uint8_images=True)
             traj = jax.device_get(traj)
             self._requests += 1
         return _npz_bytes({k: np.asarray(v) for k, v in traj.items()})
@@ -324,6 +345,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply_json(404, {"error": "unknown path"})
         except ValueError as e:
             return self._reply_json(400, {"error": str(e)})
+        except Exception as e:   # corrupt npz, trace errors, OOM: reply,
+            return self._reply_json(500, {  # don't drop the connection
+                "error": f"{type(e).__name__}: {e}"})
         self._reply(200, out, "application/x-npz")
 
 

@@ -44,7 +44,8 @@ from mmdyn_tpu.utils.runs import config_from_args, load_run_args
 
 IMAGE_SHAPE = (64, 64, 3)
 POSE_DIM = 7
-_FC_WIDTH = 512  # encoder/regressor trunk width ahead of the condition concat
+_CNN_TRUNK = 512  # cnn encoder/regressor trunk width before condition concat
+_MLP_TRUNK = 256  # mlp encoder last hidden width (models/vae.py layer_sizes)
 
 
 def _infer_condition_dim(cfg: ProblemConfig, params) -> Optional[int]:
@@ -52,18 +53,22 @@ def _infer_condition_dim(cfg: ProblemConfig, params) -> Optional[int]:
 
     condition_dim is probed from the dataset at train time
     (train/loop.py:104-106) and is not in problem.pkl; serving must not need
-    the dataset. The condition concat happens between the 512-wide trunk and
-    the first head (models/vae.py:112-117, models/regressor.py:52-56), so the
-    head's fan-in exposes it.
+    the dataset. The condition concat happens between the encoder trunk and
+    the first head (models/vae.py:112-117, models/regressor.py:52-56), so
+    the head's fan-in exposes it: trunk width 512 for cnn, 256 for the mlp
+    encoder's last hidden layer.
     """
     if not cfg.conditional:
         return None
     if cfg.problem_type == "regression":
         head = params["out_0"]["kernel"]
+        trunk = _CNN_TRUNK
     else:
         enc = params.get("visual_encoder") or params.get("encoder")
         head = enc["linear_means"]["kernel"]
-    return int(head.shape[0]) - _FC_WIDTH
+        trunk = (_MLP_TRUNK if cfg.model_name.split("-")[0] == "mlp"
+                 else _CNN_TRUNK)
+    return int(head.shape[0]) - trunk
 
 
 class InferenceSession:
@@ -136,7 +141,15 @@ class InferenceSession:
                 else latest_checkpoint(ckpt_dir))
         if path is None or not Path(path).exists():
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-        restored = ocp.StandardCheckpointer().restore(Path(path).absolute())
+        # restore as host numpy (not StandardCheckpointer's sharded arrays):
+        # a checkpoint written on TPU must load on a CPU-only serving host
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(Path(path).absolute()).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        restored = ckptr.restore(Path(path).absolute(),
+                                 restore_args=restore_args)
         params = restored["state"]["params"]
         import dataclasses
         cfg = dataclasses.replace(
@@ -273,6 +286,14 @@ class InferenceSession:
         z = reparametrize(k_rep, mu, lv) if sample else mu
         preds = self._decode(variables, z, condition, rngs,
                              uint8_images=uint8_images)
+        if (not self.cfg.is_mvae
+                and self.cfg.model_name.split("-")[0] == "mlp"):
+            # the mlp fold put channel planes on the batch axis (row order
+            # b*3 + c); group the per-plane posteriors back per input row so
+            # every output's leading axis is the request batch
+            b = next(iter(inputs.values())).shape[0]
+            mu = jnp.reshape(mu, (b, 3, -1))
+            lv = jnp.reshape(lv, (b, 3, -1))
         preds["mu"], preds["logvar"] = mu, lv
         return preds
 
@@ -285,12 +306,13 @@ class InferenceSession:
 
     @functools.cached_property
     def _jit_sample(self):
-        def fn(variables, rng, n, cond):
+        def fn(variables, rng, n, cond, uint8_images):
             kz, kd = jax.random.split(rng)
             z = jax.random.normal(kz, (n, self.cfg.latent_size))
-            return self._decode(variables, z, cond, {"dropout": kd})
+            return self._decode(variables, z, cond, {"dropout": kd},
+                                uint8_images=uint8_images)
 
-        return jax.jit(fn, static_argnums=(2,))
+        return jax.jit(fn, static_argnums=(2, 4))
 
     # ------------------------------------------------------------------
     def _gather(self, visual, tactile, pose):
@@ -375,16 +397,17 @@ class InferenceSession:
         out = self.predict(visual, tactile, pose, condition)
         return out["mu"], out["logvar"]
 
-    def sample_prior(self, n, rng, condition=None):
+    def sample_prior(self, n, rng, condition=None, uint8_images=False):
         """Decode n prior samples z ~ N(0, I) (problems.py:548-559)."""
         if self.cfg.problem_type == "regression":
             raise ValueError("regression models have no latent space")
         cond = self._gather_condition(condition)
-        return self._jit_sample(self.variables, rng, int(n), cond)
+        return self._jit_sample(self.variables, rng, int(n), cond,
+                                bool(uint8_images))
 
     # ------------------------------------------------------------------
     def rollout(self, steps, visual=None, tactile=None, pose=None,
-                condition=None, rng=None, sample=False):
+                condition=None, rng=None, sample=False, uint8_images=False):
         """Iterate the one-step predictor closed-loop for ``steps`` steps.
 
         Each step feeds the predicted modalities back as the next input
@@ -401,11 +424,12 @@ class InferenceSession:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         return self._jit_rollout(self.variables, inputs, cond, rng,
-                                 int(steps), bool(sample))
+                                 int(steps), bool(sample),
+                                 bool(uint8_images))
 
     @functools.cached_property
     def _jit_rollout(self):
-        def fn(variables, init, cond, rng, steps, sample):
+        def fn(variables, init, cond, rng, steps, sample, uint8_images):
             keep = tuple(sorted(init))
 
             def step(carry, key):
@@ -414,9 +438,16 @@ class InferenceSession:
                 return nxt, {k: preds[k] for k in preds
                              if k in keep or k in ("mu", "logvar")}
 
-            return jax.lax.scan(step, init, jax.random.split(rng, steps))[1]
+            ys = jax.lax.scan(step, init, jax.random.split(rng, steps))[1]
+            if uint8_images:
+                # feedback stays float inside the scan; only the returned
+                # trajectory is quantized (same payload contract as predict)
+                ys = {k: (jnp.round(v * 255.0).astype(jnp.uint8)
+                          if v.ndim == 5 else v)
+                      for k, v in ys.items()}
+            return ys
 
-        return jax.jit(fn, static_argnums=(4, 5))
+        return jax.jit(fn, static_argnums=(4, 5, 6))
 
     # ------------------------------------------------------------------
     def freeze_bn(self, visual=None, tactile=None, pose=None, condition=None,

@@ -502,6 +502,90 @@ class TestHttpServing:
             with pytest.raises(SystemExit):
                 mod.main(["--run", "a", "--torch-ckpt", "b"])
 
+    def test_review_fixes(self, tmp_path):
+        """Hardening from the round-3 code review: shape validation before
+        grouping, n=0 rejection, sample/rollout caps + uint8 payloads,
+        export modality guard, exported-artifact uint8 input scaling, and
+        mlp condition-dim inference."""
+        import io
+
+        from mmdyn_tpu.serve.server import ServingApp
+
+        s = _mvae_session(use_pose=False, latent=8)
+        app = ServingApp(s, batch_size=2)
+
+        def body(**arrays):
+            buf = io.BytesIO()
+            np.savez(buf, **arrays)
+            return buf.getvalue()
+
+        # wrong spatial shape and empty batch: loud ValueError (HTTP 400)
+        with pytest.raises(ValueError, match="visual must be"):
+            app.predict(body(visual=np.zeros((2, 32, 32, 3), np.float32)))
+        with pytest.raises(ValueError, match="empty"):
+            app.predict(body(visual=np.zeros((0, 64, 64, 3), np.float32)))
+        # sample/rollout bounds
+        with pytest.raises(ValueError, match="n must be"):
+            app.sample(b"", 100000)
+        with pytest.raises(ValueError, match="steps"):
+            app.rollout(body(visual=np.zeros((1, 64, 64, 3), np.float32),
+                             tactile=np.zeros((1, 64, 64, 3), np.float32)),
+                        steps=5000)
+        # sample + rollout honour the uint8 wire contract
+        out = np.load(io.BytesIO(app.sample(b"", 2)))
+        assert out["visual"].dtype == np.uint8
+        traj = np.load(io.BytesIO(app.rollout(
+            body(visual=np.zeros((1, 64, 64, 3), np.float32),
+                 tactile=np.zeros((1, 64, 64, 3), np.float32)), steps=2)))
+        assert traj["visual"].dtype == np.uint8
+
+        # export guard: a tactile-only VAE cannot export a visual input
+        cfg = ProblemConfig(problem_type="seq_modeling",
+                            model_name="cnn-vae", input_type="tactile",
+                            latent_size=8, batchsize=2)
+        model = setup_model("cnn-vae", cross_modal=False, latent_size=8,
+                            architecture="cnn", conditional=False,
+                            categorical_conditions=False, condition_dim=None,
+                            input_dim=64 * 64, compute_dtype="float32")
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "reparam": jax.random.PRNGKey(2)}
+        params = model.init(rngs, jnp.zeros((2, 64, 64, 3)), None)["params"]
+        tac = InferenceSession(cfg, params)
+        with pytest.raises(ValueError, match="tactile"):
+            export_session(tac, tmp_path / "bad", batch_size=2,
+                           modalities=("visual",))
+        export_session(tac, tmp_path / "good", batch_size=2)  # derived
+
+        # exported artifact scales uint8 inputs like the HTTP server
+        pred = load_exported(tmp_path / "good")
+        v = np.asarray(_img(0))
+        a = pred(tactile=v)
+        b = pred(tactile=(v * 255).astype(np.uint8))
+        np.testing.assert_allclose(np.asarray(a["mu"]), np.asarray(b["mu"]),
+                                   atol=2e-2)  # uint8 quantization of input
+
+    def test_mlp_condition_dim_and_grouped_posterior(self):
+        cfg = ProblemConfig(problem_type="reconstruction",
+                            model_name="mlp-vae", input_type="visual",
+                            conditional=True, condition_dim=3,
+                            latent_size=8, batchsize=2)
+        model = setup_model("mlp-vae", cross_modal=False, latent_size=8,
+                            architecture="mlp", conditional=True,
+                            categorical_conditions=False, condition_dim=3,
+                            input_dim=64 * 64, compute_dtype="float32")
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "reparam": jax.random.PRNGKey(2)}
+        params = model.init(rngs, jnp.zeros((2, 64, 64, 3)),
+                            jnp.zeros((6, 3)))["params"]
+        assert _infer_condition_dim(cfg, params) == 3   # mlp trunk is 256
+        s = InferenceSession(cfg, params)
+        out = s.predict(visual=_img(0, 2), condition=jnp.zeros((6, 3)))
+        # posterior grouped per input row (B, planes, D), not (3B, D)
+        assert out["mu"].shape == (2, 3, 8)
+        assert out["visual"].shape == (2, 64, 64, 3)
+
     def test_uint8_request_payload_accepted(self):
         from mmdyn_tpu.serve.server import ServingApp
 
