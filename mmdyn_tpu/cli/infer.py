@@ -49,6 +49,9 @@ def build_parser():
                    help="closed-loop steps from the first frame")
     p.add_argument("--sample", action="store_true", default=False,
                    help="stochastic z (default: posterior mean)")
+    p.add_argument("--no-pose", action="store_true", default=False,
+                   help="predict from images only even for a use_pose model "
+                        "(otherwise an unloadable pose modality is an error)")
     p.add_argument("--parity", action="store_true", default=False,
                    help="train-mode dropout (reference eval semantics)")
     p.add_argument("--export", default=None, type=str,
@@ -97,6 +100,17 @@ def _load_frames(frames_dir, modalities, norms=None):
                 hi = np.asarray(norms["pose_max"], np.float32)
                 rng = np.where(hi - lo == 0, 1.0, hi - lo)
                 out[m] = ((pose - lo) / rng).astype(np.float32)
+            else:
+                # a use_pose model fed images only forms a DIFFERENT PoE
+                # posterior — never degrade silently (pass --no-pose to
+                # predict from images alone on purpose)
+                missing = ("no data.json in the dump" if norms
+                           and "pose_min" in norms else
+                           "run has no pose normalisation constants "
+                           "(norms.json predates pose recording)")
+                raise ValueError(
+                    f"pose modality requested but unavailable: {missing}. "
+                    f"Use --no-pose to run on images only.")
             continue
         paths = sorted_glob(m)
         if not paths:
@@ -176,8 +190,8 @@ def main(argv=None):
     out_dir = Path(args.out or Path(args.run) / "plot" / "infer")
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    input_mods = (tuple(modalities) + ("pose",) if cfg.use_pose
-                  else tuple(modalities))
+    input_mods = (tuple(modalities) + ("pose",)
+                  if cfg.use_pose and not args.no_pose else tuple(modalities))
     frames = _load_frames(args.frames, input_mods, norms=session.norms)
     n = len(next(iter(frames.values())))
     report = {"run": args.run or args.torch_ckpt, "frames": args.frames,
@@ -200,10 +214,11 @@ def main(argv=None):
         bs = min(args.batchsize, n)
         regression = cfg.problem_type == "regression"
         out_keys = ("pose",) if regression else modalities
-        preds, lat = {k: [] for k in out_keys}, []
+        preds, lat, rows = {k: [] for k in out_keys}, [], []
         for s in range(0, n, bs):
             batch = {m: v[s:s + bs] for m, v in frames.items()}
-            pad = bs - len(next(iter(batch.values())))
+            rows.append(len(next(iter(batch.values()))))
+            pad = bs - rows[-1]
             if pad > 0:  # static batch shape: pad the ragged tail
                 batch = {m: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                          for m, v in batch.items()}
@@ -235,7 +250,9 @@ def main(argv=None):
             steady = lat[1:]
             report["latency_ms_steady"] = round(
                 sum(steady) / len(steady) * 1e3, 2)
-            report["frames_per_s"] = round(bs * len(steady) / sum(steady), 1)
+            # real (unpadded) rows only: the padded tail of the final batch
+            # is serving overhead, not delivered frames
+            report["frames_per_s"] = round(sum(rows[1:]) / sum(steady), 1)
 
     with open(out_dir / "infer_report.json", "w") as f:
         json.dump(report, f, indent=2)

@@ -2,7 +2,11 @@
 
 Stdlib-only (http.server); the model math runs through the AOT-compiled
 predictor at a fixed batch size — requests are padded up to it and truncated
-on the way out, so the serving hot path never traces or recompiles.
+on the way out, so /predict never traces after startup (both the sample=0
+and sample=1 variants are warmed in __init__). /rollout's scan length and
+/sample's n are quantized to power-of-two buckets (run at the bucket,
+truncated to the request), so each endpoint compiles at most once per bucket
+on first use rather than once per distinct client value.
 
 Endpoints (wire format: .npz bodies — `np.savez` on the client,
 `np.load` here; metadata via query string):
@@ -42,6 +46,16 @@ def _npz_bytes(arrays: dict) -> bytes:
     return buf.getvalue()
 
 
+def _bucket(n: int) -> int:
+    """Next power of two >= n: the static compile shape a request runs at.
+
+    /rollout's scan length and /sample's n are compile-time constants; running
+    at the bucket and truncating bounds the jit cache at ~log2(limit) entries
+    instead of one program per distinct client value.
+    """
+    return 1 << max(0, (n - 1).bit_length())
+
+
 class ServingApp:
     """Request -> prediction glue; separable from HTTP for testing.
 
@@ -74,6 +88,10 @@ class ServingApp:
         cond = (np.zeros((self.batch_size, self.cfg.condition_dim),
                          np.float32) if self.cfg.conditional else None)
         self._run_batch(warm, cond, sample=False, n=1)
+        if self.cfg.problem_type != "regression":
+            # /predict?sample=1 is a distinct jit signature; trace it now so
+            # no client request ever compiles inside the compute lock
+            self._run_batch(warm, cond, sample=True, n=1)
         self._batches = 0
         self._batcher = (_MicroBatcher(self, microbatch_wait_ms / 1e3)
                          if microbatch_wait_ms > 0 else None)
@@ -185,14 +203,19 @@ class ServingApp:
             # n is a static compile shape: bound it so clients cannot grow
             # the jit cache / device memory without limit
             raise ValueError(f"n must be in (0, {max(256, self.batch_size)}]")
+        # quantize the compile shape: run at the next power-of-two bucket and
+        # return the first n draws, so arbitrary n costs at most ~9 traces
+        run_n = _bucket(int(n))
+        if cond is not None and run_n != n:
+            cond = self._pad(cond, run_n)
         with self._lock:
-            out = self.session.sample_prior(int(n), jax.random.PRNGKey(seed),
+            out = self.session.sample_prior(run_n, jax.random.PRNGKey(seed),
                                             condition=cond,
                                             uint8_images=True)
             out = jax.device_get(out)
             self._requests += 1
             self._batches += 1
-        return _npz_bytes({k: np.asarray(v) for k, v in out.items()})
+        return _npz_bytes({k: np.asarray(v)[:n] for k, v in out.items()})
 
     def rollout(self, body: bytes, steps: int, sample: bool = False) -> bytes:
         npz = np.load(io.BytesIO(body), allow_pickle=False)
@@ -205,12 +228,16 @@ class ServingApp:
             raise ValueError("steps must be in (0, 1000]")
         import jax
 
+        # quantize the scan length the same way as /sample: run the rollout
+        # at the next bucket and truncate the trajectory, so distinct steps
+        # values share a handful of compiled programs
+        run_steps = _bucket(int(steps))
         with self._lock:
-            traj = self.session.rollout(int(steps), **inputs, condition=cond,
+            traj = self.session.rollout(run_steps, **inputs, condition=cond,
                                         sample=sample, uint8_images=True)
             traj = jax.device_get(traj)
             self._requests += 1
-        return _npz_bytes({k: np.asarray(v) for k, v in traj.items()})
+        return _npz_bytes({k: np.asarray(v)[:steps] for k, v in traj.items()})
 
 
 class _MicroBatcher:
@@ -328,11 +355,23 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         url = urlparse(self.path)
-        q = parse_qs(url.query)
-        sample = q.get("sample", ["0"])[0] == "1"
-        length = int(self.headers.get("Content-Length", 0))
-        body = self.rfile.read(length)
         try:
+            q = parse_qs(url.query)
+            sample = q.get("sample", ["0"])[0] == "1"
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                return self._reply_json(400, {
+                    "error": "Content-Length header must be an integer"})
+            # bound the in-memory buffer BEFORE reading: the largest honest
+            # request is one serving batch of f32 visual+tactile+pose plus
+            # npz framing — anything far beyond that is malformed or abusive
+            cap = max(1 << 20,
+                      4 * self.app.batch_size * (2 * 64 * 64 * 3 + 7) * 2)
+            if not 0 <= length <= cap:
+                return self._reply_json(400, {
+                    "error": f"Content-Length {length} outside [0, {cap}]"})
+            body = self.rfile.read(length)
             if url.path == "/predict":
                 out = self.app.predict(body, sample=sample)
             elif url.path == "/rollout":

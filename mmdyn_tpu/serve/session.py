@@ -29,6 +29,7 @@ the prior expert; absent modalities are simply not encoded.
 from __future__ import annotations
 
 import functools
+import warnings
 from pathlib import Path
 from typing import Optional
 
@@ -512,8 +513,15 @@ class InferenceSession:
             x = visual if visual is not None else tactile
             _, muts = collect.apply({"params": params}, jnp.asarray(x), cond,
                                     rngs=rngs, mutable=["bn_stats"])
+        bn_stats = muts.get("bn_stats")
+        if not bn_stats:
+            # BN-free architectures (mlp encoder/decoder stacks) have nothing
+            # to calibrate: the session is already per-example deterministic.
+            warnings.warn("freeze_bn: model has no BatchNorm layers; "
+                          "returning the session unchanged", stacklevel=2)
+            return self
         return InferenceSession(self.cfg, params, parity=self.parity,
-                                mesh=self.mesh, bn_stats=muts["bn_stats"],
+                                mesh=self.mesh, bn_stats=bn_stats,
                                 norms=self.norms)
 
     # ------------------------------------------------------------------

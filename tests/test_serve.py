@@ -209,6 +209,27 @@ class TestFrozenBN:
         np.testing.assert_allclose(np.asarray(art["mu"]),
                                    np.asarray(live["mu"]), atol=1e-5)
 
+    def test_freeze_bn_is_noop_on_bn_free_model(self):
+        # mlp architecture has no BatchNorm: calibration must not KeyError,
+        # it warns and returns the (already deterministic) session
+        cfg = ProblemConfig(problem_type="reconstruction",
+                            model_name="mlp-vae", input_type="visual",
+                            latent_size=8, batchsize=2)
+        model = setup_model("mlp-vae", cross_modal=False, latent_size=8,
+                            architecture="mlp", conditional=False,
+                            categorical_conditions=False, condition_dim=None,
+                            input_dim=64 * 64, compute_dtype="float32")
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "reparam": jax.random.PRNGKey(2)}
+        params = model.init(rngs, jnp.zeros((2, 64, 64, 3)), None)["params"]
+        s = InferenceSession(cfg, params)
+        with pytest.warns(UserWarning, match="no BatchNorm"):
+            frozen = s.freeze_bn(visual=_img(10, 8))
+        assert frozen is s
+        out = frozen.predict(visual=_img(0))
+        assert out["visual"].shape == (2, 64, 64, 3)
+
     def test_regressor_freeze(self):
         cfg = ProblemConfig(problem_type="regression", model_name="regressor",
                             input_type="visual", batchsize=2)
@@ -400,6 +421,56 @@ class TestHttpServing:
             status, data = self._post(port, "/predict",
                                       {"visual": np.asarray(_img(0, 9))})
             assert status == 400  # exceeds serving batch
+        finally:
+            server.shutdown()
+            thread.join(timeout=10)
+
+    def test_request_hardening_and_shape_buckets(self):
+        import http.client
+        import io
+        import json
+        import threading
+
+        from mmdyn_tpu.serve.server import _bucket, make_server
+
+        assert [_bucket(n) for n in (1, 2, 3, 5, 9, 1000)] == \
+            [1, 2, 4, 8, 16, 1024]
+
+        s = _mvae_session(use_pose=False, latent=8)
+        server = make_server(s, port=0, batch_size=4)
+        port = server.server_port
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            # non-numeric Content-Length: 400, not a dropped connection
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Length", "banana")
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400
+            assert "Content-Length" in json.loads(resp.read())["error"]
+            conn.close()
+
+            # absurd Content-Length: rejected before buffering the body
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Length", str(1 << 40))
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400
+            conn.close()
+
+            # non-bucket sample n: runs at bucket 4, truncates back to 3
+            status, data = self._post(port, "/sample?n=3&seed=7", {})
+            assert status == 200
+            out = np.load(io.BytesIO(data))
+            assert out["visual"].shape == (3, 64, 64, 3)
+            # n=3 and n=4 share bucket 4: same program, same draws per seed
+            status, data2 = self._post(port, "/sample?n=4&seed=7", {})
+            out2 = np.load(io.BytesIO(data2))
+            np.testing.assert_array_equal(out["visual"],
+                                          out2["visual"][:3])
         finally:
             server.shutdown()
             thread.join(timeout=10)
