@@ -56,6 +56,13 @@ def build_train_setup(problem_type="seq_modeling", model_name="cnn-mvae",
                         input_type=input_type, use_pose=use_pose,
                         latent_size=latent, batchsize=batch,
                         compute_dtype=compute_dtype, remat=remat)
+    if compute_dtype == "auto":
+        import dataclasses
+
+        from mmdyn_tpu.problems.base import select_compute_dtype
+        cfg = dataclasses.replace(
+            cfg, compute_dtype=select_compute_dtype(cfg, seq_len))
+        compute_dtype = cfg.compute_dtype
     kwargs = dict(latent_size=latent, architecture="cnn",
                   compute_dtype=compute_dtype)
     if cfg.is_mvae and cfg.cross_modal:
@@ -176,14 +183,17 @@ def main():
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
-    ap.add_argument("--dtype", default="bfloat16_full",
-                    choices=["float32", "bfloat16", "bfloat16_full"],
-                    help="Activation policy (--no-bf16 forces float32); the "
-                         "default keeps activations 2-byte end-to-end "
-                         "(+12%% over bfloat16 on this bandwidth-bound step)")
+    ap.add_argument("--dtype", default="auto",
+                    choices=["auto", "float32", "bfloat16", "bfloat16_full"],
+                    help="Activation policy (--no-bf16 forces float32); "
+                         "'auto' picks by the measured batch-size crossover "
+                         "(bfloat16_full at the saturated defaults: +12%% "
+                         "over bfloat16 on this bandwidth-bound step)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip-dyn", action="store_true",
                     help="skip the secondary dyn_modeling measurement")
+    ap.add_argument("--skip-vae", action="store_true",
+                    help="skip the secondary single-modality VAE measurement")
     ap.add_argument("--skip-serving", action="store_true",
                     help="skip the serving-latency measurement")
     ap.add_argument("--serve-batch", type=int, default=256)
@@ -224,6 +234,19 @@ def main():
               f"batch {args.dyn_batch}x{args.dyn_seq_len})", file=sys.stderr)
         result["dyn_frames_per_sec"] = round(dfps, 2)
         result["dyn_ms_per_step"] = round(dstep * 1e3, 3)
+
+    # secondary: the single-modality cnn-vae path (the fastest production
+    # config) so a regression there surfaces in BENCH_r*.json round over round
+    if not args.skip_vae:
+        vfps, vstep, _ = bench_train(
+            problem_type="seq_modeling", model_name="cnn-vae",
+            input_type="visual", use_pose=False, batch=args.batch,
+            steps=max(args.steps // 2, 10), latent=args.latent,
+            bf16=args.bf16, dtype=dtype)
+        print(f"# jax vae: {vfps:.1f} frames/s ({vstep*1e3:.2f} ms/step, "
+              f"batch {args.batch})", file=sys.stderr)
+        result["vae_frames_per_sec"] = round(vfps, 2)
+        result["vae_ms_per_step"] = round(vstep * 1e3, 3)
 
     # serving: AOT predictor of the same flagship model — batch-1 round trip
     # (dispatch + full device_get) and pipelined device step at the serving

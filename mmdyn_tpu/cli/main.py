@@ -62,11 +62,21 @@ def build_parser():
     parser.add_argument("--no-tensorboard", action="store_true", default=False)
     parser.add_argument("--platform", default=None, type=str,
                         help="Force a JAX platform (e.g. cpu)")
+    parser.add_argument("--dtype", default="auto", type=str,
+                        choices=("auto", "float32", "bfloat16",
+                                 "bfloat16_full"),
+                        help="Activation policy. 'auto' (default) picks the "
+                             "measured-fastest: bfloat16 below ~512 model "
+                             "rows/step, bfloat16_full at/above (the "
+                             "crossover where the byte savings start paying "
+                             "for the converts — docs/PARITY.md)")
     parser.add_argument("--bf16", action="store_true", default=False,
-                        help="bfloat16 matmul/conv inputs (f32 accumulate)")
+                        help="bfloat16 matmul/conv inputs (f32 accumulate); "
+                             "overrides --dtype")
     parser.add_argument("--bf16-full", action="store_true", default=False,
                         help="bfloat16 activations end-to-end (halves HBM "
-                             "traffic; stats/latent/loss math stay f32)")
+                             "traffic; stats/latent/loss math stay f32); "
+                             "overrides --dtype")
     parser.add_argument("--profile-dir", default=None, type=str,
                         help="Capture a jax.profiler trace of epoch 1 here")
     parser.add_argument("--remat", action="store_true", default=False,
@@ -121,7 +131,7 @@ def main(argv=None):
         batchsize=args.batchsize,
         num_epochs=args.num_epochs,
         compute_dtype=("bfloat16_full" if args.bf16_full
-                       else "bfloat16" if args.bf16 else "float32"),
+                       else "bfloat16" if args.bf16 else args.dtype),
         remat=args.remat,
         augment=args.augment,
         augment_shift=args.augment_shift,

@@ -71,6 +71,30 @@ class ProblemConfig:
         return "mvae" in self.model_name
 
 
+def select_compute_dtype(cfg: ProblemConfig, seq_length: int) -> str:
+    """Resolve the ``"auto"`` activation policy by model batch size.
+
+    Measured crossover (docs/PARITY.md benchmark matrix): the end-to-end
+    bfloat16 policy (``bfloat16_full``) wins once the step is bandwidth-
+    saturated (~512 rows through the conv stack: 19.9 vs 22.8 ms at batch
+    512) but LOSES below it (9.9 vs 8.2 ms at batch 128 — the extra converts
+    cost more than the byte savings). Rows differ per problem: seq_modeling
+    and regression stride to one frame per sequence (problems.py:648-655),
+    dyn_modeling and reconstruction run every frame of the flattened batch.
+    """
+    if cfg.compute_dtype != "auto":
+        return cfg.compute_dtype
+    import jax
+    if jax.default_backend() != "tpu":
+        # the bf16 policies were measured on TPU HBM; on CPU/GPU-less hosts
+        # (tests, parity runs) emulated bfloat16 only loses
+        return "float32"
+    rows = cfg.batchsize
+    if cfg.problem_type in ("dyn_modeling", "reconstruction"):
+        rows = cfg.batchsize * max(1, seq_length)
+    return "bfloat16_full" if rows >= 512 else "bfloat16"
+
+
 def anneal_kl(epoch: int, annealing_epochs: int) -> float:
     """kl_weight schedule (problems.py:212-216): linear warmup then 1."""
     if epoch < annealing_epochs:

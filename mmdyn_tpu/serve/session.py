@@ -153,13 +153,19 @@ class InferenceSession:
                                  restore_args=restore_args)
         params = restored["state"]["params"]
         import dataclasses
-        cfg = dataclasses.replace(
-            cfg, condition_dim=_infer_condition_dim(cfg, params))
         norms = None
         if (run_dir / "norms.json").exists():
             import json
             with open(run_dir / "norms.json") as f:
                 norms = json.load(f)
+        if norms is not None and "condition_dim" in norms:
+            # recorded at train time (train/loop.py) — authoritative; the
+            # param-shape probe below stays as the fallback for runs that
+            # predate the field
+            condition_dim = norms["condition_dim"]
+        else:
+            condition_dim = _infer_condition_dim(cfg, params)
+        cfg = dataclasses.replace(cfg, condition_dim=condition_dim)
         return cls(cfg, params, parity=parity, mesh=mesh, norms=norms)
 
     # ------------------------------------------------------------------

@@ -24,7 +24,8 @@ from mmdyn_tpu.data.dataset import dataset_setup
 from mmdyn_tpu.data.loader import device_prefetch, to_device_batch
 from mmdyn_tpu.models.factory import count_parameters, setup_model
 from mmdyn_tpu.parallel.mesh import batch_sharding, replicate
-from mmdyn_tpu.problems.base import ProblemConfig, anneal_kl, make_optimizer
+from mmdyn_tpu.problems.base import (ProblemConfig, anneal_kl, make_optimizer,
+                                     select_compute_dtype)
 from mmdyn_tpu.train.checkpoint import (latest_checkpoint, restore_checkpoint,
                                         save_checkpoint)
 from mmdyn_tpu.train.metrics import MetricWriter
@@ -103,17 +104,24 @@ class Problem:
 
         # --- condition dim (the shock-force width, problems.py:675-681) ---
         condition_dim = self.train_dataset.shock_dim
-        self.cfg = dataclasses.replace(cfg, condition_dim=condition_dim)
+        self.cfg = dataclasses.replace(
+            cfg, condition_dim=condition_dim,
+            # "auto" resolves once seq_length is known (rows per step differ
+            # by problem family — see base.select_compute_dtype)
+            compute_dtype=select_compute_dtype(cfg, self.seq_length))
 
         # make the run self-describing for dataset-free serving: record the
         # dataset's min-max normalisation constants (the reference computes
-        # and discards them at compile, datasets.py:187-204)
+        # and discards them at compile, datasets.py:187-204) plus the
+        # train-time architecture facts serving would otherwise have to
+        # infer from parameter shapes (serve/session.py)
         norms = dict(getattr(self.train_dataset, "norms", {}) or {})
-        if norms:
-            import json
-            norms["seq_length"] = self.seq_length
-            with open(self.log_dir / "norms.json", "w") as f:
-                json.dump(norms, f, indent=2)
+        import json
+        norms["seq_length"] = self.seq_length
+        norms["condition_dim"] = condition_dim
+        norms["compute_dtype"] = self.cfg.compute_dtype
+        with open(self.log_dir / "norms.json", "w") as f:
+            json.dump(norms, f, indent=2)
 
         # --- model ---
         self.model = self._build_model()

@@ -29,8 +29,16 @@ def config_from_args(saved: dict, batchsize=None, num_epochs=0,
     from mmdyn_tpu.problems.base import ProblemConfig
 
     if compute_dtype is None:
-        compute_dtype = ("bfloat16_full" if saved.get("bf16_full")
-                         else "bfloat16" if saved.get("bf16") else "float32")
+        saved_dtype = saved.get("dtype")
+        if saved_dtype and saved_dtype != "auto":
+            compute_dtype = saved_dtype
+        else:
+            # "auto" resolves against the dataset at train time; offline
+            # reattachment defaults to f32 (norms.json records the resolved
+            # train-time policy for anyone who needs it)
+            compute_dtype = ("bfloat16_full" if saved.get("bf16_full")
+                             else "bfloat16" if saved.get("bf16")
+                             else "float32")
     return ProblemConfig(
         problem_type=saved["problem_type"],
         model_name=saved["model_name"],

@@ -730,6 +730,21 @@ class TestFromRun:
         out = s.predict(visual=_img(), condition=jnp.zeros((2, 4)))
         assert out["visual"].shape == (2, 64, 64, 3)
 
+    def test_condition_dim_recorded_in_norms_wins(self, tmp_path):
+        # train-time recording (train/loop.py norms.json) is authoritative;
+        # the param-shape probe is only the fallback for pre-field runs
+        run, _ = self._fake_run(tmp_path, conditional=True, condition_dim=4)
+        with open(run / "norms.json", "w") as f:
+            json.dump({"condition_dim": 4, "seq_length": 10}, f)
+        s = InferenceSession.from_run(run)
+        assert s.cfg.condition_dim == 4
+        # a recorded null must also be honoured (non-conditional dataset)
+        run2, _ = self._fake_run(tmp_path / "b", conditional=False)
+        with open(run2 / "norms.json", "w") as f:
+            json.dump({"condition_dim": None, "seq_length": 10}, f)
+        s2 = InferenceSession.from_run(run2)
+        assert s2.cfg.condition_dim is None
+
     def test_norms_roundtrip(self, tmp_path):
         run, _ = self._fake_run(tmp_path)
         norms = {"pose_min": [0, 0, 0, -1, -1, -1, -1],

@@ -47,6 +47,29 @@ def _vae_model_and_state(cfg):
     return model, tx, create_train_state(variables["params"], tx)
 
 
+def test_select_compute_dtype_auto(monkeypatch):
+    """'auto' picks by model rows/step: bfloat16 below the measured ~512-row
+    crossover, bfloat16_full at/above; non-TPU backends stay float32."""
+    from mmdyn_tpu.problems.base import select_compute_dtype
+
+    def mk(**kw):
+        return ProblemConfig(model_name="cnn-mvae", input_type="visuotactile",
+                             compute_dtype="auto", **kw)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # seq_modeling strides to one row per sequence
+    assert select_compute_dtype(mk(batchsize=128), 8) == "bfloat16"
+    assert select_compute_dtype(mk(batchsize=512), 8) == "bfloat16_full"
+    # dyn_modeling runs every frame: rows = B*T
+    assert select_compute_dtype(
+        mk(batchsize=128, problem_type="dyn_modeling"), 8) == "bfloat16_full"
+    # explicit policies pass through untouched
+    assert select_compute_dtype(
+        ProblemConfig(compute_dtype="float32", batchsize=4096), 8) == "float32"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert select_compute_dtype(mk(batchsize=4096), 8) == "float32"
+
+
 class TestSteps:
     def test_train_step_decreases_loss(self):
         cfg = _small_cfg()
@@ -231,6 +254,9 @@ class TestLoopEndToEnd:
             norms = json.load(f)
         assert norms["pose_min"] == [0.0] * 7
         assert norms["seq_length"] == 3
+        # architecture facts serving needs are recorded at train time
+        assert "condition_dim" in norms
+        assert norms["compute_dtype"] == "float32"
 
     def test_reconstruction_problem_loop(self, tmp_path):
         """Plain autoencoding (problems.py:362-626 Reconstruction): every

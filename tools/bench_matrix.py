@@ -60,8 +60,10 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--latent", type=int, default=256)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false", default=True)
-    ap.add_argument("--dtype", default="bfloat16_full",
-                    choices=["float32", "bfloat16", "bfloat16_full"])
+    ap.add_argument("--dtype", default="auto",
+                    choices=["auto", "float32", "bfloat16", "bfloat16_full"],
+                    help="'auto' resolves per row by the measured batch-size "
+                         "crossover (so the @128 row runs plain bfloat16)")
     args = ap.parse_args()
 
     print(f"{'config':26} {'batch':>6} {'ms/step':>9} {'frames/s':>12}",
@@ -71,6 +73,15 @@ def main():
             args.dyn_batch if spec["problem_type"] == "dyn_modeling"
             else args.batch)
         dtype = args.dtype if args.bf16 else "float32"
+        if dtype == "auto":   # resolve for the printed record
+            from mmdyn_tpu.problems.base import (ProblemConfig,
+                                                 select_compute_dtype)
+            dtype = select_compute_dtype(
+                ProblemConfig(problem_type=spec["problem_type"],
+                              model_name=spec["model_name"],
+                              input_type=spec["input_type"],
+                              use_pose=spec["use_pose"], batchsize=batch,
+                              compute_dtype="auto"), args.seq_len)
         fps, step_time, loss = bench_config(spec, batch, args.steps,
                                             args.latent, args.bf16,
                                             args.seq_len, dtype=dtype)
