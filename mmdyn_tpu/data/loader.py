@@ -36,6 +36,12 @@ class BatchLoader:
 
     ``skip`` drops whole fields from every batch (e.g. the seg masks when
     --mask-loss is off — they would be dead weight on the wire).
+
+    The shuffle order of pass ``e`` is a pure function of ``(seed, e)`` (the
+    DistributedSampler.set_epoch idiom), NOT of how many passes this process
+    has iterated: a preempted run resumed from a checkpoint replays the
+    interrupted epoch's exact batch order (train/loop.py preemption path),
+    and multi-host processes stay in lockstep even if one is reconstructed.
     """
 
     def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
@@ -48,7 +54,8 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.frames = frames
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         n = next(iter(arrays.values())).shape[0]
         self.n_sequences = n
         # multi-process: every host runs the same seeded shuffle, so the
@@ -69,10 +76,16 @@ class BatchLoader:
             return self.n_sequences // self.batch_size
         return -(-self.n_sequences // self.batch_size)
 
+    def set_epoch(self, epoch: int):
+        """Pin the pass counter (e.g. after a checkpoint resume) so the next
+        iteration shuffles with ``(seed, epoch)``."""
+        self._epoch = int(epoch)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(self.n_sequences)
         if self.shuffle:
-            self._rng.shuffle(order)
+            np.random.default_rng([self.seed, self._epoch]).shuffle(order)
+        self._epoch += 1
         nb = len(self)
         local = self.batch_size // self.process_count
         lo = self.process_index * local

@@ -56,6 +56,9 @@ class Problem:
         self._step_timer = StepTimer()
         self._best_loss = np.inf
         self._start_epoch = 0
+        self._skip_batches = 0          # preemption resume: replayed-epoch skip
+        self._stop_requested = False    # set by the SIGTERM handler
+        self._preempted = False         # set once the preemption snapshot saved
         self._logger_dict = defaultdict(list)
 
         if log_dir:
@@ -189,10 +192,29 @@ class Problem:
         if path is None:
             print("resume requested but no checkpoint found; starting fresh")
             return
-        self.state, epoch, self._best_loss = restore_checkpoint(path, self.state)
-        self._start_epoch = epoch + 1
-        print(f"resumed from {path} at epoch {epoch} "
-              f"(best val loss {self._best_loss:.4f})")
+        (self.state, epoch, self._best_loss, key,
+         batch_in_epoch) = restore_checkpoint(path, self.state)
+        if key is not None:
+            # the train/eval key stream continues exactly where it stopped —
+            # a resumed run is bit-identical to an uninterrupted one
+            self._key = jnp.asarray(key, jnp.uint32)
+        if batch_in_epoch > 0:
+            # mid-epoch preemption snapshot: replay epoch `epoch`, skipping
+            # its first `batch_in_epoch` optimizer steps (the loader's order
+            # is a pure function of (seed, epoch), so the remaining batches
+            # are the very ones the interrupted process never ran)
+            self._start_epoch = epoch
+            self._skip_batches = batch_in_epoch
+            print(f"resumed from {path} mid-epoch {epoch} "
+                  f"(skipping {batch_in_epoch} completed steps, "
+                  f"best val loss {self._best_loss:.4f})")
+        else:
+            self._start_epoch = epoch + 1
+            print(f"resumed from {path} at epoch {epoch} "
+                  f"(best val loss {self._best_loss:.4f})")
+        for loader in (self.train_loader, self.test_loader):
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(self._start_epoch)
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -206,8 +228,14 @@ class Problem:
     def _train_epoch(self, epoch, kl_weight):
         n_batches = len(self.train_loader)
         step_losses, perf_acc = [], defaultdict(list)
+        # mid-epoch resume: replay the epoch's (restart-stable) batch order,
+        # skipping the steps the interrupted process already took
+        skip = self._skip_batches
+        self._skip_batches = 0
         self._step_timer.reset()
-        for batch in self._prefetch(self.train_loader):
+        for b, batch in enumerate(self._prefetch(self.train_loader)):
+            if b < skip:
+                continue
             self._step_timer.mark()
             self.state, metrics = self.train_step(
                 self.state, batch, self._next_key(), jnp.float32(kl_weight))
@@ -215,14 +243,25 @@ class Problem:
             for k, v in metrics.items():
                 if k != "loss":
                     perf_acc[k].append(v)
+            if self._stop_requested:
+                # SIGTERM: persist an exact mid-epoch snapshot (state, key
+                # stream, position) and unwind — train() stops the run
+                save_checkpoint(self.checkpoint_dir, self.state, epoch,
+                                self._best_loss, name="latest",
+                                key=self._key, batch_in_epoch=b + 1)
+                self._preempted = True
+                print(f"preempted: saved 'latest' at epoch {epoch} "
+                      f"step {b + 1}/{n_batches}; resume with --resume")
+                break
         self._step_timer.mark()
         # single host sync per epoch
         step_losses = [float(x) for x in step_losses]
-        base_step = epoch * n_batches
+        n_run = len(step_losses)
+        base_step = epoch * n_batches + skip
         for i, l in enumerate(step_losses):
             self.writer.scalar("Loss/train_step", l, base_step + i)
         train_loss = sum(step_losses)
-        self._logger_dict["Loss/train_epoch"].append(train_loss / max(n_batches, 1))
+        self._logger_dict["Loss/train_epoch"].append(train_loss / max(n_run, 1))
         self._logger_dict["KL_annealing/train_epoch"].append(kl_weight)
         for k, vs in perf_acc.items():
             self._logger_dict[f"Perf_measure_train/{k}"].append(
@@ -316,31 +355,66 @@ class Problem:
     # ------------------------------------------------------------------
     def train(self, save=True):
         """Epoch loop (problems.py:193-210) + best-val checkpointing + resume
-        snapshots."""
-        cfg = self.cfg
-        for epoch in range(self._start_epoch, cfg.num_epochs):
-            print(f"Epoch: {epoch}")
-            kl_weight = anneal_kl(epoch, cfg.annealing_epochs)
-            # profile the second epoch (the first pays compilation)
-            do_profile = self.profile_dir and epoch == self._start_epoch + 1
-            with trace(self.profile_dir if do_profile else None):
-                self._train_epoch(epoch, kl_weight)
-            val_loss, aux = self._test_epoch(epoch, kl_weight)
-            last_epoch = epoch == cfg.num_epochs - 1
-            if epoch % self.image_interval == 0 or last_epoch:
-                self._sample(epoch)
-                self._write_images(epoch, aux)
-            for key in self._logger_dict:
-                self.writer.scalar(key, self._logger_dict[key][-1], epoch)
-            self.writer.flush()
+        snapshots.
 
-            if val_loss < self._best_loss:
-                self._best_loss = val_loss
-                save_checkpoint(self.checkpoint_dir, self.state, epoch,
-                                self._best_loss)
-            if epoch % self.ckpt_interval == 0 or last_epoch:
-                save_checkpoint(self.checkpoint_dir, self.state, epoch,
-                                self._best_loss, name="latest")
+        Preemption-safe (beyond-reference, SURVEY §5 "failure detection:
+        none"): SIGTERM requests a stop; the loop persists an exact snapshot
+        (state + PRNG key + epoch/step position) as 'latest' at the next
+        optimizer-step boundary and returns cleanly. Because the loader's
+        shuffle is restart-stable and checkpoints carry the key stream, a
+        ``--resume`` run continues bit-identically to an uninterrupted one
+        (tests/test_train.py::TestPreemption). Single-process only: under a
+        multi-host mesh every process must receive the signal for the
+        collective checkpoint save to complete.
+        """
+        import signal
+        cfg = self.cfg
+
+        def _request_stop(signum, frame):
+            print("SIGTERM received: checkpointing at the next step boundary")
+            self._stop_requested = True
+
+        _no_handler = object()
+        prev_handler = _no_handler
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _request_stop)
+        except ValueError:
+            pass    # not the main thread (e.g. a test harness): no handler
+        try:
+            for epoch in range(self._start_epoch, cfg.num_epochs):
+                print(f"Epoch: {epoch}")
+                kl_weight = anneal_kl(epoch, cfg.annealing_epochs)
+                # profile the second epoch (the first pays compilation)
+                do_profile = self.profile_dir and epoch == self._start_epoch + 1
+                with trace(self.profile_dir if do_profile else None):
+                    self._train_epoch(epoch, kl_weight)
+                if self._preempted:
+                    break
+                val_loss, aux = self._test_epoch(epoch, kl_weight)
+                last_epoch = epoch == cfg.num_epochs - 1
+                if epoch % self.image_interval == 0 or last_epoch:
+                    self._sample(epoch)
+                    self._write_images(epoch, aux)
+                for key in self._logger_dict:
+                    self.writer.scalar(key, self._logger_dict[key][-1], epoch)
+                self.writer.flush()
+
+                if val_loss < self._best_loss:
+                    self._best_loss = val_loss
+                    save_checkpoint(self.checkpoint_dir, self.state, epoch,
+                                    self._best_loss)
+                if (epoch % self.ckpt_interval == 0 or last_epoch
+                        or self._stop_requested):
+                    save_checkpoint(self.checkpoint_dir, self.state, epoch,
+                                    self._best_loss, name="latest",
+                                    key=self._key)
+                if self._stop_requested:
+                    print(f"preempted: saved 'latest' after epoch {epoch}; "
+                          f"resume with --resume")
+                    break
+        finally:
+            if prev_handler is not _no_handler:
+                signal.signal(signal.SIGTERM, prev_handler or signal.SIG_DFL)
 
         # hparams + final perf-measures record (problems.py:208)
         perf = {k: v[-1] for k, v in self._logger_dict.items()

@@ -145,11 +145,25 @@ class TestCheckpoint:
 
         assert latest_checkpoint(tmp_path).name == "latest"
         _, _, fresh = _vae_model_and_state(cfg)
-        restored, epoch, best = restore_checkpoint(tmp_path / "latest", fresh)
+        restored, epoch, best, key, batch = restore_checkpoint(
+            tmp_path / "latest", fresh)
         assert epoch == 3 and best == 12.5
+        assert key is None and batch == 0   # no key was saved
         np.testing.assert_allclose(
             np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
             np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+
+    def test_preemption_fields_roundtrip(self, tmp_path):
+        """key + batch_in_epoch (the preemption snapshot fields) persist."""
+        cfg = _small_cfg()
+        _, _, state = _vae_model_and_state(cfg)
+        k = jax.random.PRNGKey(42)
+        save_checkpoint(tmp_path, state, epoch=1, best_loss=2.0,
+                        name="latest", key=k, batch_in_epoch=3)
+        _, _, fresh = _vae_model_and_state(cfg)
+        _, epoch, _, key, batch = restore_checkpoint(tmp_path / "latest", fresh)
+        assert epoch == 1 and batch == 3
+        np.testing.assert_array_equal(np.asarray(key), np.asarray(k))
 
 
 class TestMultiDevice:
@@ -312,6 +326,23 @@ class TestLoopEndToEnd:
         assert p2._start_epoch == 1
         p2.train()
 
+    def test_loader_shuffle_is_restart_stable(self, tmp_path):
+        """Pass e's order is a pure function of (seed, e): a reconstructed
+        loader pinned to epoch e replays the same batches (the preemption-
+        resume contract)."""
+        from mmdyn_tpu.data.loader import BatchLoader
+        rng = np.random.default_rng(0)
+        arrays = {"x": rng.normal(size=(12, 3)).astype(np.float32)}
+        a = BatchLoader(arrays, 4, shuffle=True, seed=7)
+        e0 = [b["x"] for b in a]
+        e1 = [b["x"] for b in a]
+        assert not all(np.array_equal(x, y) for x, y in zip(e0, e1))
+        ld2 = BatchLoader(arrays, 4, shuffle=True, seed=7)
+        ld2.set_epoch(1)
+        e1_replay = [b["x"] for b in ld2]
+        for x, y in zip(e1, e1_replay):
+            np.testing.assert_array_equal(x, y)
+
     def test_dyn_modeling_and_regression(self, tmp_path):
         make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
                              n_sequences=8, seq_length=3)
@@ -325,6 +356,71 @@ class TestLoopEndToEnd:
                               tensorboard=False)
             results = problem.train()
             assert np.isfinite(results["Loss/train_epoch"][0])
+
+
+class TestPreemption:
+    """Kill a real training process mid-epoch with SIGTERM; --resume must
+    complete bit-identically to an uninterrupted golden run (the loader
+    shuffle is restart-stable and checkpoints carry the PRNG key stream +
+    epoch/step position — train/loop.py preemption path)."""
+
+    def _drive(self, ds, log_dir, extra=()):
+        import json
+        import os
+        import subprocess
+        import sys
+        from pathlib import Path
+        driver = Path(__file__).parent / "_preempt_driver.py"
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            [str(Path(__file__).parents[1])]
+            + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+        proc = subprocess.run(
+            [sys.executable, str(driver), "--dataset", str(ds),
+             "--log-dir", str(log_dir), "--epochs", "3", "--seed", "0",
+             *extra],
+            capture_output=True, text=True, timeout=900, env=env)
+        assert proc.returncode == 0, proc.stderr + proc.stdout
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    def _latest_params(self, log_dir):
+        import orbax.checkpoint as ocp
+        from pathlib import Path
+        path = (Path(log_dir) / "checkpoint" / "latest").absolute()
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(path, restore_args=restore_args)["state"]["params"]
+
+    def test_sigterm_kill_resume_matches_uninterrupted(self, tmp_path):
+        make_compiled_arrays(tmp_path / "ds" / "compiled_dataset_v2.npz",
+                             n_sequences=10, seq_length=2)
+        golden = self._drive(tmp_path / "ds", tmp_path / "golden")
+        assert golden["preempted"] is False and len(golden["val"]) == 3
+
+        # SIGTERM lands after optimizer step 3 = mid-epoch 1 (2 batches/epoch)
+        killed = self._drive(tmp_path / "ds", tmp_path / "pre",
+                             extra=("--kill-after-steps", "3"))
+        assert killed["preempted"] is True
+        assert len(killed["val"]) < 3
+        assert (tmp_path / "pre" / "checkpoint" / "latest").exists()
+
+        resumed = self._drive(tmp_path / "ds", tmp_path / "pre",
+                              extra=("--resume",))
+        # the resumed run replays the interrupted epoch's remaining steps and
+        # finishes; validation losses match the golden run's exactly
+        n = len(resumed["val"])
+        assert n >= 2
+        np.testing.assert_allclose(resumed["val"], golden["val"][-n:],
+                                   rtol=1e-6)
+        # and the final parameters are bit-identical
+        gp = self._latest_params(tmp_path / "golden")
+        rp = self._latest_params(tmp_path / "pre")
+        for a, b in zip(jax.tree_util.tree_leaves(gp),
+                        jax.tree_util.tree_leaves(rp)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_empty_train_split_fails_loudly(tmp_path):
