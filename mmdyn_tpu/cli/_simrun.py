@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+import time
 from pathlib import Path
 
 import numpy as np
@@ -9,6 +11,29 @@ import numpy as np
 import jax
 
 from mmdyn_tpu.utils.wire import RunLengthWire, pack_rgb, unpack_rgb
+
+_TRACE = os.environ.get("MMDYN_GEN_TRACE", "") not in ("", "0")
+
+
+class _StageClock:
+    """Opt-in (MMDYN_GEN_TRACE=1) wall-clock attribution for the generation
+    pipeline; stderr one-liner per flush/rollout."""
+
+    def __init__(self):
+        self.t = time.perf_counter()
+        self.stages = {}
+
+    def mark(self, name):
+        now = time.perf_counter()
+        self.stages[name] = self.stages.get(name, 0.0) + (now - self.t)
+        self.t = now
+
+    def report(self, label):
+        import sys
+        total = sum(self.stages.values())
+        parts = " ".join(f"{k}={v:.2f}s" for k, v in self.stages.items())
+        print(f"# gen-trace {label}: total={total:.2f}s {parts}",
+              file=sys.stderr)
 
 
 class DeferredTactile:
@@ -160,16 +185,159 @@ class DeferredFrames:
         force = sensor.contacts.total_force(obj_id) if sensor.contacts else 0.0
         return pose, force
 
+    def _dispatch_chunk(self, g, mbd, tac_static):
+        """Queue one chunk's full device pipeline (raycast -> tactile ->
+        RLE encode); returns a drain token. Nothing is downloaded here.
+
+        The batch is padded to a power-of-two bucket so every rollout
+        length shares a handful of compiled programs (a fresh compile costs
+        25-300 s through the tunnel); padded rows repeat the last frame,
+        compress to a few runs on the wire, and are dropped on the host.
+        """
+        import jax.numpy as jnp
+
+        r_m_inv, r_eye, r_dirs = tac_static
+        n_real = len(g)
+        bucket = 1
+        while bucket < n_real:
+            bucket *= 2
+        gp = g + [g[-1]] * (bucket - n_real)
+        cam_states = {
+            "m_inv": np.stack([f["cam"][0] for f in gp]),
+            "eye": np.stack([f["cam"][1] for f in gp]),
+            "forward": np.stack([f["cam"][2] for f in gp]),
+        }
+        scene = dict(g[0]["static"])
+        for k in ("sph_pos", "box_pos", "box_q"):
+            scene[k] = np.stack([f["frame"][k] for f in gp])
+        rgb, depth_clip, depth_png, seg_png = self._rc.render_frames_packed(
+            cam_states, scene, mbd, np.array([f["obj_id"] for f in gp]),
+            mask=g[0]["mask"])
+
+        static_cam = all(
+            np.array_equal(f["tac"][0], r_m_inv)
+            and np.array_equal(f["tac"][1], r_eye)
+            and np.array_equal(f["tac"][2], r_dirs)
+            for f in g)
+        # depth_clip stays bucket-padded so the tactile pass shares the
+        # same few compiled shapes
+        if static_cam:
+            tactile = self._tac(depth_clip)
+        else:
+            tactile = self._tac.render_frames(
+                depth_clip, np.stack([f["tac"][0] for f in gp]),
+                np.stack([f["tac"][1] for f in gp]),
+                np.stack([f["tac"][2] for f in gp]))
+
+        # the tunnel is link-capped at ~28 MB/s (utils/wire.py), so the
+        # chunk's four payloads cross it RUN-LENGTH-ENCODED on device
+        # (bit-exact; raw fallback inside wire.get). depth rides visual's
+        # unused 4th value byte and seg rides tactile's: the RLE encode's
+        # cost is per ELEMENT (the scatter), so folding payloads into spare
+        # bytes halves the encode for a few percent more runs. Row breaks
+        # at the image row (wd < 2^16) keep run lengths in uint16.
+        h, wd = rgb.shape[1], rgb.shape[2]
+        s0 = pack_rgb(rgb) | (depth_png.astype(jnp.uint32).reshape(
+            bucket, -1) << 24)
+        s1 = pack_rgb(tactile) | (seg_png.astype(jnp.uint32).reshape(
+            bucket, -1) << 24)
+        handle = self._wire.encode([s0, s1], row_len=wd, planes=4)
+        return {"g": g, "handle": handle, "h": h, "w": wd, "bucket": bucket}
+
+    def _download_chunk(self, token, clock=None):
+        """Download one dispatched chunk's wire payload (no decode)."""
+        raw = self._wire.get_raw(token["handle"])
+        if clock is not None:
+            clock.mark("wire")
+        return raw
+
+    def _write_chunk(self, token, raw):
+        """Hand decode (plane-wise run expansion) + PNG writes to the
+        background writer; overlaps the NEXT chunk's device encode."""
+        g, h, wd = token["g"], token["h"], token["w"]
+        bucket = token["bucket"]
+
+        def write():
+            import cv2
+            if "fallback" in raw:
+                s0, s1 = RunLengthWire.decode(raw)
+                vis = unpack_rgb(s0 & 0xFFFFFF, h, wd)[..., ::-1]    # BGR
+                tac = unpack_rgb(s1 & 0xFFFFFF, h, wd)[..., ::-1]
+                dep = (s0 >> 24).reshape(bucket, h, wd).astype(np.uint8)
+                seg = (s1 >> 24).reshape(bucket, h, wd).astype(np.uint8)
+                planes = None
+            else:
+                # expand byte planes directly (no uint32 round-trip):
+                # stream 0 = visual rgb + depth in byte 3, stream 1 =
+                # tactile rgb + seg in byte 3
+                (a0, b0), (a1, b1) = RunLengthWire.run_bounds(raw)
+                le = raw["lengths"]
+                sh = (bucket, h, wd)
+                rep = lambda v, a, b: np.repeat(v[a:b], le[a:b]).reshape(sh)
+                planes = {
+                    "vis": [rep(raw[k], a0, b0) for k in ("v2", "v1", "v0")],
+                    "tac": [rep(raw[k], a1, b1) for k in ("v2", "v1", "v0")],
+                }
+                dep = rep(raw["v3"], a0, b0)
+                seg = rep(raw["v3"], a1, b1)
+            for j, f in enumerate(g):
+                f["path"].mkdir(parents=True, exist_ok=True)
+                c = f["counter"]
+                if planes is None:
+                    vj = np.ascontiguousarray(vis[j])
+                    tj = np.ascontiguousarray(tac[j])
+                else:
+                    # merge is BGR order (v2=b, v1=g, v0=r)
+                    vj = cv2.merge([p[j] for p in planes["vis"]])
+                    tj = cv2.merge([p[j] for p in planes["tac"]])
+                cv2.imwrite(str(f["path"] / f"visual_{c:04d}.png"), vj)
+                cv2.imwrite(str(f["path"] / f"tactile_{c:04d}.png"), tj)
+                cv2.imwrite(str(f["path"] / f"seg_{c:04d}.png"), seg[j])
+                cv2.imwrite(str(f["path"] / f"depth_{c:04d}.png"), dep[j])
+
+        self._submit_write(write)
+        return len(g)
+
+    def _submit_write(self, fn):
+        """One background writer, one queued job max (bounds host memory)."""
+        import queue
+        import threading
+        if getattr(self, "_writer", None) is None:
+            self._wq = queue.Queue(maxsize=1)
+
+            def loop():
+                while True:
+                    job = self._wq.get()
+                    if job is None:
+                        break
+                    try:
+                        job()
+                    except BaseException as e:   # surface on join
+                        self._werr = e
+                    self._wq.task_done()
+
+            self._werr = None
+            self._writer = threading.Thread(target=loop, daemon=True)
+            self._writer.start()
+        self._wq.put(fn)
+
+    def _join_writes(self):
+        if getattr(self, "_writer", None) is not None:
+            self._wq.join()
+            if self._werr is not None:
+                err, self._werr = self._werr, None
+                raise err
+
     def flush(self):
         """Render and write every queued snapshot's four PNGs.
 
-        Everything crossing the device link is packed to its final uint8 PNG
-        payload ON DEVICE (render_frames_packed) — the tunnel between this
-        host and the TPU is bandwidth-bound, and the clipped f32 depth feeds
-        the tactile pass as a device array without ever visiting the host.
+        Everything crossing the device link is packed to its final uint8
+        payload ON DEVICE (render_frames_packed + the RLE wire), and chunks
+        run as a 1-deep pipeline: chunk k+1's render/encode is dispatched
+        BEFORE chunk k's wire download + host PNG writes, so device compute
+        and host IO overlap (the queue depth is bounded at one in-flight
+        chunk to cap HBM held by encode buffers).
         """
-        import cv2
-
         if not self._frames:
             return 0
         n = 0
@@ -187,87 +355,180 @@ class DeferredFrames:
         mbd = float(self._sensor.max_buffer_depth)
         # hoist the tactile renderer's baked device constants once (each
         # np.asarray of a device array is a ~25-35 ms tunnel RPC; the
-        # static-camera check below runs per queued frame)
+        # static-camera check runs per queued frame)
         r = self._tac
-        r_m_inv, r_eye = np.asarray(r._m_inv), np.asarray(r._eye)
-        r_dirs = np.asarray(r._light_dirs)[:, :, 0]
-        for group in groups:
-            for i in range(0, len(group), self.chunk):
-                g = group[i:i + self.chunk]
-                # pad the batch to a power-of-two bucket so every rollout
-                # length shares a handful of compiled programs: a fresh
-                # compile costs 25-300 s through the tunnel, rendering a
-                # padded frame ~1 ms. Padded rows repeat the last frame and
-                # are sliced off ON DEVICE before download, so they never
-                # cross the tunnel.
-                n_real = len(g)
-                bucket = 1
-                while bucket < n_real:
-                    bucket *= 2
-                pad = [g[-1]] * (bucket - n_real)
-                gp = g + pad
-                cam_states = {
-                    "m_inv": np.stack([f["cam"][0] for f in gp]),
-                    "eye": np.stack([f["cam"][1] for f in gp]),
-                    "forward": np.stack([f["cam"][2] for f in gp]),
-                }
-                scene = dict(g[0]["static"])
-                for k in ("sph_pos", "box_pos", "box_q"):
-                    scene[k] = np.stack([f["frame"][k] for f in gp])
-                rgb, depth_clip, depth_png, seg_png = \
-                    self._rc.render_frames_packed(
-                        cam_states, scene, mbd,
-                        np.array([f["obj_id"] for f in gp]),
-                        mask=g[0]["mask"])
-
-                static_cam = all(
-                    np.array_equal(f["tac"][0], r_m_inv)
-                    and np.array_equal(f["tac"][1], r_eye)
-                    and np.array_equal(f["tac"][2], r_dirs)
-                    for f in g)
-                # depth_clip stays bucket-padded so the tactile pass shares
-                # the same few compiled shapes
-                if static_cam:
-                    tactile = r(depth_clip)
-                else:
-                    tactile = r.render_frames(
-                        depth_clip, np.stack([f["tac"][0] for f in gp]),
-                        np.stack([f["tac"][1] for f in gp]),
-                        np.stack([f["tac"][2] for f in gp]))
-
-                # the tunnel is link-capped at ~28 MB/s (utils/wire.py), so
-                # the chunk's four payloads cross it RUN-LENGTH-ENCODED on
-                # device (~100-200x smaller for these scenes, bit-exact, raw
-                # fallback inside wire.get); padded rows compress to a few
-                # runs and are dropped on the host
-                import jax.numpy as jnp
-                h, wd = rgb.shape[1], rgb.shape[2]
-                handle = self._wire.encode(
-                    [pack_rgb(rgb), pack_rgb(tactile),
-                     depth_png.astype(jnp.uint32).reshape(bucket, -1),
-                     seg_png.astype(jnp.uint32).reshape(bucket, -1)],
-                    row_len=h * wd)
-                vis_p, tac_p, dep_p, seg_p = self._wire.get(handle)
-                rgb = unpack_rgb(vis_p, h, wd)[:n_real]
-                tactile = unpack_rgb(tac_p, h, wd)[:n_real]
-                depth_png = dep_p.reshape(bucket, h, wd).astype(
-                    np.uint8)[:n_real]
-                seg_png = seg_p.reshape(bucket, h, wd).astype(
-                    np.uint8)[:n_real]
-                for j, f in enumerate(g):
-                    f["path"].mkdir(parents=True, exist_ok=True)
-                    c = f["counter"]
-                    cv2.imwrite(str(f["path"] / f"visual_{c:04d}.png"),
-                                cv2.cvtColor(rgb[j], cv2.COLOR_RGB2BGR))
-                    cv2.imwrite(str(f["path"] / f"tactile_{c:04d}.png"),
-                                cv2.cvtColor(tactile[j], cv2.COLOR_RGB2BGR))
-                    cv2.imwrite(str(f["path"] / f"seg_{c:04d}.png"),
-                                seg_png[j])
-                    cv2.imwrite(str(f["path"] / f"depth_{c:04d}.png"),
-                                depth_png[j])
-                    n += 1
+        tac_static = (np.asarray(r._m_inv), np.asarray(r._eye),
+                      np.asarray(r._light_dirs)[:, :, 0])
+        clock = _StageClock() if _TRACE else None
+        # STRICT serial DEVICE order (download k before dispatching k+1):
+        # the tunnel serialises transfers against queued device compute,
+        # and a download issued while the next chunk's encode runs drops
+        # from ~44 MB/s to ~7 MB/s (measured) — worse than no overlap at
+        # all. The n_runs readback inside wire.get_raw already waits out
+        # the encode, so the download always rides an idle link. Decode
+        # (plane-wise run expansion) + PNG encode + disk IO happen in the
+        # background writer, overlapping the NEXT chunk's device encode.
+        chunks = [group[i:i + self.chunk] for group in groups
+                  for i in range(0, len(group), self.chunk)]
+        token = self._dispatch_chunk(chunks[0], mbd, tac_static)
+        for nxt in chunks[1:]:
+            raw = self._download_chunk(token, clock)
+            token_next = self._dispatch_chunk(nxt, mbd, tac_static)
+            if clock is not None:
+                clock.mark("dispatch")
+            n += self._write_chunk(token, raw)
+            token = token_next
+        raw = self._download_chunk(token, clock)
+        n += self._write_chunk(token, raw)
+        self._join_writes()
+        if clock is not None:
+            clock.mark("png-join")
+            clock.report(f"flush[{n} frames]")
         self._frames.clear()
         return n
+
+
+def run_trials_device_physics(backend, sensor, obj_id, trial_states,
+                              n_timesteps, interval, paths, snapshot_from=0,
+                              ext_forces=None, mask_seg_to_obj=True,
+                              blank_guard=True):
+    """Run K independent trials of ONE analytic scene entirely on device.
+
+    Replaces the host stepping loop of the experiment CLIs
+    (exp_1_flat_plane.py:136-145 and friends): the leapfrog + impulse
+    contact stepping runs as one vmapped ``lax.scan``
+    (sim/physics_jax.SimulatorJax) over all K trials, the per-snapshot
+    frames render through the packed device pipeline (DeferredFrames:
+    raycast + tactile + RLE wire), and only poses/forces + the finished
+    PNG payloads ever cross the tunnel.
+
+    Args:
+        trial_states: per trial, a dict {body_id: (position, orientation)}
+            of pose overrides applied before the rollout (set_pose
+            semantics: velocity zeroed — set_pose zeroes it for every body
+            anyway at trial start since each trial restarts the scene).
+        ext_forces: optional (K, T, NB, 3) world-frame forces in BODY-ROW
+            order (rows = ascending body id), pybullet applyExternalForce
+            one-step semantics.
+        blank_guard: replicate the experiments' first-frame check — a trial
+            whose initial raw segmentation is empty is skipped (returns
+            None for it), exp_1_flat_plane.py:124-129.
+
+    Returns a list of per-trial dicts (or None for blank-skipped trials)
+    with keys time_step / time / position / orientation / force, where
+    force is the sensor<->object total normal force at each snapshot (the
+    Contact.total_force semantics, sim/contact.py).
+    """
+    import jax.numpy as jnp
+
+    from mmdyn_tpu.sim import config as sim_config
+    from mmdyn_tpu.sim.physics_jax import pack_scene
+    from mmdyn_tpu.sim.raycast_jax import RaycastJax, capture_scene
+
+    k_trials = len(trial_states)
+    clock = _StageClock() if _TRACE else None
+    sim, ids, consts = pack_scene(backend)
+    row = {bid: r for r, bid in enumerate(ids)}
+    nb = len(ids)
+
+    pos = np.tile(consts["pos"][None], (k_trials, 1, 1))
+    quat = np.tile(consts["quat"][None], (k_trials, 1, 1))
+    for k, overrides in enumerate(trial_states):
+        for bid, (p, q) in overrides.items():
+            pos[k, row[bid]] = np.asarray(p, np.float64)
+            quat[k, row[bid]] = np.asarray(q, np.float64)
+    vel = np.zeros_like(pos)
+    sizes = np.tile(consts["sizes"][None], (k_trials, 1, 1))
+    mass = np.tile(consts["mass"][None], (k_trials, 1))
+
+    # --- blank guard: initial raw seg, blankness reduced ON device --------
+    sensor._update_pose()
+    sensor._update_sensor()
+    sig, static, _ = capture_scene(backend)
+    sph_rows = [row[int(i)] for i in static["sph_id"]]
+    box_rows = [row[int(i)] for i in static["box_id"]]
+
+    def scene_frames(p_btc, q_btc):
+        """Per-frame raycast arrays from (F, NB, 3)/(F, NB, 4) body states."""
+        s = dict(static)
+        s["sph_pos"] = p_btc[:, sph_rows].astype(np.float32)
+        s["box_pos"] = p_btc[:, box_rows].astype(np.float32)
+        s["box_q"] = q_btc[:, box_rows].astype(np.float32)
+        return s
+
+    skip = [False] * k_trials
+    if blank_guard:
+        cam = sensor.camera
+        key = (cam.width, cam.height, float(cam.near), float(cam.far))
+        rc = DeferredFrames._rc_cache.setdefault(key,
+                                                 RaycastJax.from_camera(cam))
+        m_inv, eye, fwd = RaycastJax.capture_camera_state(cam)
+        cam_states = {"m_inv": np.stack([m_inv] * k_trials),
+                      "eye": np.stack([eye] * k_trials),
+                      "forward": np.stack([fwd] * k_trials)}
+        _, _, seg0 = rc.render_frames(cam_states, scene_frames(pos, quat))
+        skip = [bool(x) for x in
+                np.asarray(jnp.all(seg0 == -1, axis=(1, 2)))]
+
+    if clock is not None:
+        clock.mark("blank-guard")
+    # --- the whole rollout batch in one jitted call ------------------------
+    out = sim.simulate(pos, vel, quat, sizes, mass, int(n_timesteps),
+                       ext_forces=ext_forces)
+    traj, cf = jax.device_get((out["pos"], out["contact_force"]))
+    if clock is not None:
+        clock.mark("simulate")
+
+    # sensor<->object pair force (Contact.total_force drops ground contacts)
+    force_series = np.zeros((k_trials, int(n_timesteps)), np.float64)
+    sensor_row, obj_row = row[sensor.sensor_id], row[obj_id]
+    if backend.bodies[sensor.sensor_id].shape == "box":
+        force_series += cf[:, :, obj_row, sim.support_slot(sensor_row)]
+    if backend.bodies[obj_id].shape == "box":
+        force_series += cf[:, :, sensor_row, sim.support_slot(obj_row)]
+
+    snap_ts = [t for t in range(int(n_timesteps))
+               if (t + 1) % int(interval) == 0 and t >= int(snapshot_from)]
+
+    deferred = DeferredFrames()
+    results = []
+    for k in range(k_trials):
+        if skip[k]:
+            results.append(None)
+            continue
+        data = {"time_step": [], "time": [], "position": [],
+                "orientation": [], "force": []}
+        # immovable bodies keep their per-trial override for the whole
+        # rollout (e.g. exp_2's inclined fixed sensor)
+        for bid, (p, q) in trial_states[k].items():
+            if not sim.movable[row[bid]]:
+                backend.set_pose(bid, p, q)
+        for c, t in enumerate(snap_ts):
+            # replay the simulated state into the host backend so the
+            # existing capture machinery (camera follows a movable sensor,
+            # scene snapshot) sees exactly the step-t world
+            for bid in ids:
+                r = row[bid]
+                if sim.movable[r]:
+                    backend.set_pose(bid, traj[k, t, r], quat[k, r])
+            deferred.add_snapshot(sensor, obj_id, paths[k], c,
+                                  mask_seg_to_obj=mask_seg_to_obj)
+            p, q = backend.get_pose(obj_id)
+            data["time_step"].append(t)
+            data["time"].append(t * getattr(backend, "time_step",
+                                            sim_config.TIME_STEP))
+            data["position"].append([float(x) for x in p])
+            data["orientation"].append([float(x) for x in q])
+            # a snapshot at iteration t reads the contacts of step t-1
+            # (the loops snapshot BEFORE backend.step())
+            data["force"].append(float(force_series[k, t - 1])
+                                 if t > 0 else 0.0)
+        results.append(data)
+    if clock is not None:
+        clock.mark("capture")
+        clock.report(f"rollout[{k_trials} trials x {n_timesteps} steps]")
+    deferred.flush()
+    return results
 
 
 def make_deferred(sensor):

@@ -35,6 +35,11 @@ parser.add_argument("--fast-shading", action="store_true", default=False,
 parser.add_argument("--device-render", action="store_true", default=False,
                     help="defer tactile shading to a batched accelerator "
                     "pass at end of rollout (sim/tactile_jax.py)")
+parser.add_argument("--device-physics", action="store_true", default=False,
+                    help="step ALL of an object's trials on the accelerator "
+                    "in one vmapped call (sim/physics_jax.py) and render "
+                    "them with the packed device pipeline; analytic engine "
+                    "only, implies --device-render")
 parser.add_argument("--headless", action="store_true", default=False)
 parser.add_argument("--debug", action="store_true", default=False)
 parser.add_argument("--trial_per_obj", type=int, default=10)
@@ -153,6 +158,76 @@ def run_trial(args, info, k, engine):
     return True
 
 
+def run_trials_device(args, info, trial_seeds):
+    """All of one object's trials in one vmapped device rollout
+    (--device-physics): identical per-trial RNG consumption to run_trial
+    (color draw, then sample_pose), then physics + rendering on the
+    accelerator via _simrun.run_trials_device_physics."""
+    from mmdyn_tpu.sim import config
+    from mmdyn_tpu.sim.physics import setup_backend
+    from mmdyn_tpu.sim.sensor import make_sensor
+    from mmdyn_tpu.sim.sample import sample_pose
+    from mmdyn_tpu.sim.assets import spawn_object
+    from mmdyn_tpu.cli._simrun import run_trials_device_physics
+
+    backend = setup_backend(time_step=config.TIME_STEP, renders=False,
+                            gravity=True, engine="analytic")
+    sensor = make_sensor(backend, size=[1.5, 1.5, 1], position=[0, 0, 0.5],
+                         sensor_vector=[0, 0, 1], thickness=0.005,
+                         use_force=False, constrained=False,
+                         fast_shading=args.fast_shading)
+
+    init_pos = np.array([0.0, 0.0, 1.5])
+    COM_shift = info["center_mass"] - np.array([0, 0, info["mesh_height"] / 4])
+    trial_states, paths, colors = [], [], []
+    for k, seed in trial_seeds:
+        if seed is not None:
+            random.seed(seed)
+            np.random.seed(seed)
+        # same RNG draws, in the same order, as run_trial
+        if not info["textured_material"]:
+            color = list(random.choice(info["colors"]))
+            color[-1] = 1.0
+        else:
+            color = []
+        colors.append(tuple(color))
+        position, orientation = sample_pose(init_pos, random_chance=0.8,
+                                            random_orn=True, gaussian_mean=0,
+                                            gaussian_std=args.drop_std)
+        p0 = (position if args.apply_sampled_position
+              else init_pos) - info["center_mass"]
+        trial_states.append((p0, orientation))
+        paths.append(Path(args.logdir).joinpath(
+            info["synset"], info["obj_name"], "sequence_" + str(k).zfill(4)))
+    # the synthetic catalog gives each object ONE color, so all trials share
+    # the spawn color (the batched scene has one object body)
+    assert len(set(colors)) == 1, \
+        "--device-physics requires a single color per object"
+    obj_id = spawn_object(backend, info,
+                          position=init_pos - info["center_mass"],
+                          orientation=[0, 0, 0, 1], mass=1,
+                          color=list(colors[0]), COM_shift=COM_shift)
+
+    results = run_trials_device_physics(
+        backend, sensor, obj_id,
+        [{obj_id: st} for st in trial_states],
+        args.n_timesteps, args.interval, paths)
+    n_ok = 0
+    for path, res in zip(paths, results):
+        if res is None:
+            continue    # blank-image guard (exp_1:111-115)
+        data = {"time_step": res["time_step"], "time": res["time"],
+                "position": res["position"],
+                "orientation": res["orientation"]}
+        path.mkdir(parents=True, exist_ok=True)
+        with open(path.joinpath("data.json"), "w") as f:
+            json.dump(data, f)
+        n_ok += 1
+    backend.reset()
+    backend.disconnect()
+    return n_ok
+
+
 def _run_trial_star(job):
     args, info, k, engine, seed = job
     if seed is not None:
@@ -178,14 +253,28 @@ def main(argv=None):
         except ImportError:
             engine = "analytic"
 
+    if args.device_physics and engine != "analytic":
+        raise SystemExit("--device-physics requires the analytic engine")
+
     jobs = []
     total = 0
     for info in iter_objects(args, engine):
         total += 1
+        if args.device_physics:
+            trial_seeds = [(k, None if args.seed is None
+                            else args.seed + 7919 * total + k)
+                           for k in range(args.trial_per_obj)]
+            print(f"device trials: {info['obj_name']} x{len(trial_seeds)} "
+                  f"({info['category']})")
+            run_trials_device(args, info, trial_seeds)
+            continue
         for k in range(args.trial_per_obj):
             seed = None if args.seed is None else \
                 args.seed + 7919 * total + k
             jobs.append((args, info, k, engine, seed))
+    if args.device_physics:
+        print(f"done: {total} objects x {args.trial_per_obj} trials")
+        return
 
     if args.workers > 1 and engine == "analytic":
         # trials are fully independent; PyBullet connections are per-process

@@ -43,6 +43,26 @@ def test_raw_fallback_on_noise():
     np.testing.assert_array_equal(out, x)
 
 
+def test_four_plane_roundtrip_and_bounds():
+    """planes=4 (a payload folded into the spare value byte) roundtrips
+    exactly, and run_bounds splits streams on exact boundaries."""
+    rng = np.random.default_rng(3)
+    n = 4096
+    a = np.repeat(rng.integers(0, 2**32 - 1, size=(4, n // 64),
+                               dtype=np.uint32), 64, axis=1)
+    c = np.full((2, n), 7, np.uint32)
+    w = RunLengthWire()
+    h = w.encode([jnp.asarray(a), jnp.asarray(c)], row_len=n, planes=4)
+    raw = w.get_raw(h)
+    oa, oc = RunLengthWire.decode(raw)
+    np.testing.assert_array_equal(oa, a)
+    np.testing.assert_array_equal(oc, c)
+    (s0, e0), (s1, e1) = RunLengthWire.run_bounds(raw)
+    assert s0 == 0 and e0 == s1 and e1 == len(raw["lengths"])
+    assert raw["lengths"][s0:e0].sum() == a.size
+    assert raw["lengths"][s1:e1].sum() == c.size
+
+
 def test_pack_unpack_rgb():
     rng = np.random.default_rng(2)
     img = rng.integers(0, 256, size=(3, 8, 16, 3), dtype=np.uint8)
