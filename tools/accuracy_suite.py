@@ -1,0 +1,201 @@
+"""Reference-scale accuracy suite: do the trained models learn real physics?
+
+Evaluates runs of all three problem families on the HELD-OUT test split of a
+compiled corpus (ideally an ``exp_1 --apply-sampled-position`` corpus, whose
+resting positions are non-degenerate — docs/PARITY.md "Pose regression in
+world units"), against the baselines any learner must beat:
+
+* regression — mean resting-POSITION error (metres, denormalised via the
+  run's norms.json) and orientation geodesic angle, vs the train-split
+  mean predictor;
+* seq_modeling (MVAE frame-0 -> final state) — final-pose position error vs
+  the mean predictor, final-image L1 vs persistence (copy frame 0);
+* dyn_modeling — teacher-forced one-step image L1 / world pose error vs
+  persistence (copy frame t), plus closed-loop rollout drift at the full
+  horizon vs persistence from frame 0.
+
+Usage:
+    python tools/accuracy_suite.py --dataset <corpus> \
+        --reg-run <dir> --seq-run <dir> --dyn-run <dir> \
+        --out docs/convergence/accuracy_suite_exp1.json
+
+Reference context: the reference repo trains these families
+(mmdyn/pytorch/problems/problems.py) but publishes no accuracy numbers and
+ships no evaluation beyond loss curves (BASELINE.md); this harness is the
+missing measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def _f32img(x):
+    return np.asarray(x, np.float32) / 255.0
+
+
+def _pos_err(pred_pose_denorm, gt_pose_denorm):
+    return np.linalg.norm(pred_pose_denorm[:, :3] - gt_pose_denorm[:, :3],
+                          axis=1)
+
+
+def _quat_angle(pred_pose_denorm, gt_pose_denorm):
+    q = pred_pose_denorm[:, 3:]
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-9)
+    g = gt_pose_denorm[:, 3:]
+    g = g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-9)
+    dot = np.clip(np.abs(np.sum(q * g, axis=1)), 0.0, 1.0)
+    return 2.0 * np.arccos(dot)
+
+
+def _chunked_predict(session, chunk=256, **arrays):
+    """predict() over a large batch in fixed-size chunks (few compiles)."""
+    n = len(next(v for v in arrays.values() if v is not None))
+    outs = []
+    for i in range(0, n, chunk):
+        part = {k: (None if v is None else v[i:i + chunk])
+                for k, v in arrays.items()}
+        m = len(next(v for v in part.values() if v is not None))
+        if m < chunk:   # pad to the chunk so every call shares one program
+            part = {k: (None if v is None else np.concatenate(
+                [v, np.repeat(v[-1:], chunk - m, axis=0)]))
+                for k, v in part.items()}
+        out = session.predict(**part)
+        outs.append({k: np.asarray(v)[:m] for k, v in out.items()})
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+def eval_regression(run, train, test, results):
+    from mmdyn_tpu.serve.session import InferenceSession
+    s = InferenceSession.from_run(run)
+    gt = s.denormalize_pose(test["final_pose"])
+    pred = _chunked_predict(s, visual=_f32img(test["visual"][:, 0]))
+    pose = s.denormalize_pose(np.asarray(pred["pose"]))
+    base = s.denormalize_pose(train["final_pose"]).mean(axis=0,
+                                                        keepdims=True)
+    base = np.repeat(base, len(gt), axis=0)
+    results["regression"] = {
+        "n_test": int(len(gt)),
+        "pos_err_m": round(float(_pos_err(pose, gt).mean()), 5),
+        "pos_err_mean_predictor_m":
+            round(float(_pos_err(base, gt).mean()), 5),
+        "orient_err_rad": round(float(_quat_angle(pose, gt).mean()), 5),
+        "orient_err_mean_predictor_rad":
+            round(float(_quat_angle(base, gt).mean()), 5),
+    }
+    r = results["regression"]
+    r["beats_mean_predictor"] = bool(
+        r["pos_err_m"] < r["pos_err_mean_predictor_m"])
+
+
+def eval_seq(run, train, test, results):
+    from mmdyn_tpu.serve.session import InferenceSession
+    s = InferenceSession.from_run(run)
+    gt = s.denormalize_pose(test["final_pose"])
+    pred = _chunked_predict(
+        s, visual=_f32img(test["visual"][:, 0]),
+        tactile=_f32img(test["tactile"][:, 0]),
+        pose=test["pose"][:, 0] if s.cfg.use_pose else None)
+    base = s.denormalize_pose(train["final_pose"]).mean(axis=0,
+                                                        keepdims=True)
+    base = np.repeat(base, len(gt), axis=0)
+    entry = {"n_test": int(len(gt))}
+    if "pose" in pred:
+        pose = s.denormalize_pose(np.asarray(pred["pose"]))
+        entry["final_pos_err_m"] = round(float(_pos_err(pose, gt).mean()), 5)
+        entry["final_pos_err_mean_predictor_m"] = round(
+            float(_pos_err(base, gt).mean()), 5)
+        entry["beats_mean_predictor"] = bool(
+            entry["final_pos_err_m"] < entry["final_pos_err_mean_predictor_m"])
+    for mod in ("visual", "tactile"):
+        gt_img = _f32img(test[f"final_{mod}"])
+        l1 = float(np.abs(np.asarray(pred[mod]) - gt_img).mean())
+        pers = float(np.abs(_f32img(test[mod][:, 0]) - gt_img).mean())
+        entry[f"{mod}_l1"] = round(l1, 5)
+        entry[f"{mod}_l1_persistence"] = round(pers, 5)
+        entry[f"{mod}_beats_persistence"] = bool(l1 < pers)
+    results["seq_modeling"] = entry
+
+
+def eval_dyn(run, train, test, results, chunk=256):
+    from mmdyn_tpu.serve.session import InferenceSession
+    s = InferenceSession.from_run(run)
+    n, t = test["visual"].shape[:2]
+    # teacher-forced one-step: rows = all (seq, t) pairs with a successor
+    vis = _f32img(test["visual"][:, :-1].reshape(-1, 64, 64, 3))
+    tac = _f32img(test["tactile"][:, :-1].reshape(-1, 64, 64, 3))
+    pose = test["pose"][:, :-1].reshape(-1, 7)
+    nxt_vis = _f32img(test["visual"][:, 1:].reshape(-1, 64, 64, 3))
+    nxt_pose = test["pose"][:, 1:].reshape(-1, 7)
+    pred = _chunked_predict(
+        s, chunk=chunk, visual=vis, tactile=tac,
+        pose=pose if s.cfg.use_pose else None)
+    entry = {"n_test": int(n), "seq_length": int(t)}
+    l1 = float(np.abs(np.asarray(pred["visual"]) - nxt_vis).mean())
+    pers = float(np.abs(vis - nxt_vis).mean())
+    entry["onestep_visual_l1"] = round(l1, 6)
+    entry["onestep_visual_l1_persistence"] = round(pers, 6)
+    entry["onestep_beats_persistence"] = bool(l1 < pers)
+    if "pose" in pred:
+        gt = s.denormalize_pose(nxt_pose)
+        pe = _pos_err(s.denormalize_pose(np.asarray(pred["pose"])), gt)
+        pp = _pos_err(s.denormalize_pose(pose), gt)
+        entry["onestep_pos_err_m"] = round(float(pe.mean()), 6)
+        entry["onestep_pos_err_persistence_m"] = round(float(pp.mean()), 6)
+        entry["onestep_pose_beats_persistence"] = bool(
+            pe.mean() < pp.mean())
+    # closed-loop rollout from frame 0 over the full horizon
+    roll = s.rollout(t - 1, visual=_f32img(test["visual"][:, 0]),
+                     tactile=_f32img(test["tactile"][:, 0]),
+                     pose=test["pose"][:, 0] if s.cfg.use_pose else None)
+    final = np.asarray(roll["visual"])[-1]
+    gt_final = _f32img(test["visual"][:, -1])
+    l1r = float(np.abs(final - gt_final).mean())
+    persr = float(np.abs(_f32img(test["visual"][:, 0]) - gt_final).mean())
+    entry["rollout_final_visual_l1"] = round(l1r, 6)
+    entry["rollout_final_visual_l1_persistence"] = round(persr, 6)
+    entry["rollout_beats_persistence"] = bool(l1r < persr)
+    results["dyn_modeling"] = entry
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--reg-run", default=None)
+    ap.add_argument("--seq-run", default=None)
+    ap.add_argument("--dyn-run", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platform_name", args.platform)
+    from mmdyn_tpu.utils.compile_cache import maybe_enable
+    maybe_enable()
+    from mmdyn_tpu.data.dataset import VisuoTactileArrays
+
+    train = VisuoTactileArrays(args.dataset, train=True).arrays
+    test = VisuoTactileArrays(args.dataset, train=False).arrays
+    results = {"dataset": str(args.dataset),
+               "n_train": int(len(train["final_pose"])),
+               "n_test": int(len(test["final_pose"]))}
+    if args.reg_run:
+        eval_regression(args.reg_run, train, test, results)
+    if args.seq_run:
+        eval_seq(args.seq_run, train, test, results)
+    if args.dyn_run:
+        eval_dyn(args.dyn_run, train, test, results)
+
+    print(json.dumps(results, indent=2))
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
