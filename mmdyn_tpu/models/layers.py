@@ -126,6 +126,10 @@ class TrainBatchNorm(nn.Module):
     ``MMDYN_BN_NOSTATS=1`` is a PERF-ONLY ablation (wrong numerics!) that
     replaces the statistics with constants, bounding from above what any
     stats-fusion kernel could save (docs/PARITY.md).
+    ``MMDYN_BN_STOPGRAD_STATS=1`` is a PERF-ONLY ablation (bit-exact
+    forward, wrong input gradients) that stop-gradients the batch
+    statistics, isolating the backward stat-term share of that bound —
+    measured to be ALL of it (docs/PARITY.md "BN statistics traffic").
 
     ``mode`` (serving-side knob; training always uses the default):
       * ``"batch"``   — current-batch statistics (reference semantics).
@@ -174,6 +178,19 @@ class TrainBatchNorm(nn.Module):
             inv = jax.lax.rsqrt(jnp.ones((c,), jnp.float32) + self.eps)
             return (x * inv.astype(x.dtype) * scale.astype(x.dtype)
                     + bias.astype(x.dtype))
+        if os.environ.get("MMDYN_BN_STOPGRAD_STATS") == "1":
+            # PERF ABLATION (wrong gradients, right forward): treat the batch
+            # statistics as constants under autodiff. Removes exactly the
+            # backward's stat-gradient terms while keeping the forward stats
+            # reductions — splitting the MMDYN_BN_NOSTATS bound into its
+            # forward-read and backward-term components (docs/PARITY.md
+            # "BN statistics traffic").
+            y, mean, inv = _train_bn_fwd_math(x, scale, bias, self.eps)
+            del y
+            mean = jax.lax.stop_gradient(mean)
+            inv = jax.lax.stop_gradient(inv)
+            return ((x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+                    * scale.astype(x.dtype) + bias.astype(x.dtype))
         mode = os.environ.get("MMDYN_BN_VJP", "auto")
         if mode in ("auto", "manual"):
             return _train_bn_manual(x, scale, bias, self.eps)

@@ -172,6 +172,33 @@ class TestLayers:
                                        np.asarray(v, np.float32),
                                        rtol=rtol, atol=atol)
 
+    def test_train_bn_stopgrad_stats_forward_bitexact(self, monkeypatch):
+        """MMDYN_BN_STOPGRAD_STATS is a perf ablation that must keep the
+        forward bit-exact (only the backward stat terms are removed) and the
+        scale/bias gradients unchanged — the decomposition in docs/PARITY.md
+        "BN statistics traffic" relies on both properties."""
+        from mmdyn_tpu.models.layers import TrainBatchNorm
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(1.0, 2.0, size=(8, 6, 6, 16)), jnp.float32)
+        bn = TrainBatchNorm()
+        params = bn.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, x):
+            return jnp.sum(jnp.sin(bn.apply(p, x)))
+
+        monkeypatch.delenv("MMDYN_BN_STOPGRAD_STATS", raising=False)
+        y0 = bn.apply(params, x)
+        g0 = jax.grad(loss)(params, x)
+        monkeypatch.setenv("MMDYN_BN_STOPGRAD_STATS", "1")
+        y1 = bn.apply(params, x)
+        g1 = jax.grad(loss)(params, x)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        for k in ("scale", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(g0["params"][k]), np.asarray(g1["params"][k]),
+                rtol=1e-6, atol=1e-6)
+
     def test_train_batchnorm_matches_torch_train_mode(self):
         rng = np.random.default_rng(2)
         x = rng.normal(2.0, 3.0, size=(8, 6, 6, 5)).astype(np.float32)
