@@ -59,6 +59,16 @@ def _pos_err(pred_pose_denorm, gt_pose_denorm):
                           axis=1)
 
 
+def _pos_err_split(pred_pose_denorm, gt_pose_denorm):
+    """(xy, z) error split. Frames are bbox-re-cropped around the object (a
+    reference quirk, utils/datasets.py), so world x/y is UNOBSERVABLE from
+    images by construction — the mean predictor is the information-theoretic
+    optimum there. Resting HEIGHT is a function of object shape, so z is the
+    axis where image->pose learning can actually show up."""
+    d = pred_pose_denorm[:, :3] - gt_pose_denorm[:, :3]
+    return np.linalg.norm(d[:, :2], axis=1), np.abs(d[:, 2])
+
+
 def _quat_angle(pred_pose_denorm, gt_pose_denorm):
     q = pred_pose_denorm[:, 3:]
     q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-9)
@@ -94,11 +104,19 @@ def eval_regression(run, train, test, results):
     base = s.denormalize_pose(train["final_pose"]).mean(axis=0,
                                                         keepdims=True)
     base = np.repeat(base, len(gt), axis=0)
+    xy, z = _pos_err_split(pose, gt)
+    bxy, bz = _pos_err_split(base, gt)
     results["regression"] = {
         "n_test": int(len(gt)),
         "pos_err_m": round(float(_pos_err(pose, gt).mean()), 5),
         "pos_err_mean_predictor_m":
             round(float(_pos_err(base, gt).mean()), 5),
+        # xy is unobservable from the cropped frames (see _pos_err_split);
+        # z (resting height from shape) is the learnable axis
+        "pos_err_xy_m": round(float(xy.mean()), 5),
+        "pos_err_xy_mean_predictor_m": round(float(bxy.mean()), 5),
+        "pos_err_z_m": round(float(z.mean()), 5),
+        "pos_err_z_mean_predictor_m": round(float(bz.mean()), 5),
         "orient_err_rad": round(float(_quat_angle(pose, gt).mean()), 5),
         "orient_err_mean_predictor_rad":
             round(float(_quat_angle(base, gt).mean()), 5),
@@ -106,6 +124,8 @@ def eval_regression(run, train, test, results):
     r = results["regression"]
     r["beats_mean_predictor"] = bool(
         r["pos_err_m"] < r["pos_err_mean_predictor_m"])
+    r["beats_mean_predictor_z"] = bool(
+        r["pos_err_z_m"] < r["pos_err_z_mean_predictor_m"])
 
 
 def eval_seq(run, train, test, results):
@@ -127,6 +147,14 @@ def eval_seq(run, train, test, results):
             float(_pos_err(base, gt).mean()), 5)
         entry["beats_mean_predictor"] = bool(
             entry["final_pos_err_m"] < entry["final_pos_err_mean_predictor_m"])
+        xy, z = _pos_err_split(pose, gt)
+        bxy, bz = _pos_err_split(base, gt)
+        entry["final_pos_err_xy_m"] = round(float(xy.mean()), 5)
+        entry["final_pos_err_xy_mean_predictor_m"] = round(float(bxy.mean()), 5)
+        entry["final_pos_err_z_m"] = round(float(z.mean()), 5)
+        entry["final_pos_err_z_mean_predictor_m"] = round(float(bz.mean()), 5)
+        entry["beats_mean_predictor_z"] = bool(
+            entry["final_pos_err_z_m"] < entry["final_pos_err_z_mean_predictor_m"])
     # autoencoding floor: the same model fed the TARGET (resting) frame —
     # for a resting-state predictor input == target there, so this is the
     # decoder's reconstruction ceiling on these images
@@ -144,6 +172,12 @@ def eval_seq(run, train, test, results):
         entry[f"{mod}_l1_autoencode_floor"] = round(fl, 5)
         entry[f"{mod}_beats_persistence"] = bool(l1 < pers)
         entry[f"{mod}_within_2x_floor"] = bool(l1 < 2.0 * max(fl, 1e-9))
+    if "pose" in floor:
+        # pose reconstruction ceiling: the model fed the TARGET state — the
+        # distance the joint-latent pose decode loses before any dynamics
+        fp = s.denormalize_pose(np.asarray(floor["pose"]))
+        entry["final_pos_err_autoencode_floor_m"] = round(
+            float(_pos_err(fp, gt).mean()), 5)
     results["seq_modeling"] = entry
 
 
@@ -202,6 +236,27 @@ def eval_dyn(run, train, test, results, chunk=256):
                 float(pp[moving].mean()), 6)
             entry["onestep_pose_beats_persistence_moving"] = bool(
                 pe[moving].mean() < pp[moving].mean())
+        if (~moving).any():
+            # resting rows: pose_{t+1} == pose_t, so predicting the next
+            # pose IS reconstructing the input pose — the joint-latent pose
+            # decode ceiling, the analogue of the image autoencoding floor
+            fl = float(pe[~moving].mean())
+            entry["onestep_pos_err_pose_floor_m"] = round(fl, 6)
+            if moving.any():
+                entry["pose_dynamics_within_2x_floor"] = bool(
+                    pe[moving].mean() < 2.0 * max(fl, 1e-9))
+        # WHY the pose floor is where it is: PoE ablation over input
+        # modalities. pose-only >> 0 means the pose expert itself is the
+        # bottleneck (7 pose dims x pose_multiplier vs a 24,576-pixel
+        # BCE-sum — the ELBO spends the latent on pixels; reference loss
+        # weighting, main.py:37/problems.py)
+        if s.cfg.use_pose:
+            po = _chunked_predict(s, chunk=chunk, pose=pose)
+            io = _chunked_predict(s, chunk=chunk, visual=vis, tactile=tac)
+            entry["onestep_pos_err_pose_only_m"] = round(float(_pos_err(
+                s.denormalize_pose(np.asarray(po["pose"])), gt).mean()), 6)
+            entry["onestep_pos_err_images_only_m"] = round(float(_pos_err(
+                s.denormalize_pose(np.asarray(io["pose"])), gt).mean()), 6)
     # closed-loop rollout from frame 0 over the full horizon: here the
     # persistence bar is the WHOLE fall (frame 0 is 1.5 m up in the air)
     roll = s.rollout(t - 1, visual=_f32img(test["visual"][:, 0]),
