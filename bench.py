@@ -144,6 +144,51 @@ def bench_jax(batch, steps, latent, bf16=False, dtype=None):
     return fps, step_time, loss
 
 
+def bench_gen(trials=2, steps=300, interval=10):
+    """Warm ``--device-physics`` data-generation probe.
+
+    One vmapped analytic rollout (sphere drop, the exp_1 scene shape) +
+    packed device rendering + RLE wire + host PNG writes for ``trials``
+    trials, timed AFTER a full compile/warmup pass — the steady-state
+    corpus-generation throughput (docs/PARITY.md "Device-side data
+    generation"), tracked per round so the headline capability regresses
+    visibly like the train configs do. Returns (frames_per_sec, seconds).
+    """
+    import tempfile
+
+    from mmdyn_tpu.cli._simrun import run_trials_device_physics
+    from mmdyn_tpu.sim import config as sim_config
+    from mmdyn_tpu.sim.physics import setup_backend
+    from mmdyn_tpu.sim.sensor import make_sensor
+
+    backend = setup_backend(time_step=sim_config.TIME_STEP, renders=False,
+                            gravity=True, engine="analytic")
+    sensor = make_sensor(backend, size=[1.5, 1.5, 1], position=[0, 0, 0.5],
+                         sensor_vector=[0, 0, 1], thickness=0.005,
+                         use_force=False, constrained=False)
+    obj_id = backend.add_sphere(0.15, [0.0, 0.0, 1.5], mass=1.0,
+                                color=(0.8, 0.3, 0.2))
+    states = [{obj_id: (np.array([0.03 * k, -0.02 * k, 1.5]),
+                        np.array([0.0, 0.0, 0.0, 1.0]))}
+              for k in range(trials)]
+    frames = trials * (steps // interval)
+
+    def once():
+        with tempfile.TemporaryDirectory() as td:
+            paths = [Path(td) / f"seq_{k:04d}" for k in range(trials)]
+            t0 = time.perf_counter()
+            out = run_trials_device_physics(backend, sensor, obj_id, states,
+                                            steps, interval, paths)
+            dt = time.perf_counter() - t0
+            assert all(r is not None for r in out), "blank-guard skipped a trial"
+            return dt
+
+    once()                       # compile warmup
+    dt = once()
+    backend.disconnect()
+    return frames / dt, dt
+
+
 def bench_torch_cpu(batch, steps, latent):
     """Reference-semantics PyTorch-CPU train step (sequential subset passes)."""
     import torch
@@ -196,6 +241,8 @@ def main():
                     help="skip the secondary single-modality VAE measurement")
     ap.add_argument("--skip-serving", action="store_true",
                     help="skip the serving-latency measurement")
+    ap.add_argument("--skip-gen", action="store_true",
+                    help="skip the --device-physics data-generation probe")
     ap.add_argument("--serve-batch", type=int, default=256)
     ap.add_argument("--dyn-batch", type=int, default=256)
     ap.add_argument("--vae-batch", type=int, default=1024)
@@ -294,6 +341,15 @@ def main():
         result["serving_batch1_rtt_ms"] = round(rtt * 1e3, 2)
         result["serving_pipelined_ms"] = round(pipe * 1e3, 3)
         result["serving_frames_per_sec"] = round(args.serve_batch / pipe, 1)
+
+    # data generation: the warm --device-physics corpus pipeline (vmapped
+    # physics + packed rendering + RLE wire + PNG writes), a fixed 2x30-frame
+    # probe so the round artifact tracks the generation capability too
+    if not args.skip_gen:
+        gfps, gdt = bench_gen()
+        print(f"# jax gen: {gfps:.1f} frames/s (60 frames in {gdt:.2f} s, "
+              f"--device-physics probe)", file=sys.stderr)
+        result["gen_frames_per_sec"] = round(gfps, 2)
 
     if not args.skip_torch:
         tfps, tstep = bench_torch_cpu(args.torch_batch, args.torch_steps,

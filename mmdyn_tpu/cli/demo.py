@@ -28,6 +28,11 @@ parser.add_argument("--fast-shading", action="store_true", default=False,
 parser.add_argument("--device-render", action="store_true", default=False,
                     help="defer tactile shading to a batched accelerator "
                     "pass at end of rollout (sim/tactile_jax.py)")
+parser.add_argument("--device-physics", action="store_true", default=False,
+                    help="step the whole rollout on the accelerator "
+                    "(sim/physics_jax.py) and render it with the packed "
+                    "device pipeline; analytic engine only, implies "
+                    "--device-render")
 parser.add_argument("--headless", action="store_true", default=False,
                     help="If true, uses headless rendering.")
 parser.add_argument("--engine", type=str, default="auto",
@@ -44,15 +49,22 @@ def main(argv=None):
     from mmdyn_tpu.sim.sensor import make_sensor
     from mmdyn_tpu.sim.assets import preload_object, spawn_object
     from mmdyn_tpu.sim import geometry, transforms
-    from mmdyn_tpu.cli._simrun import make_deferred, snapshot
+    from mmdyn_tpu.cli._simrun import (make_deferred,
+                                       run_trials_device_physics, snapshot)
 
     args = parser.parse_args(argv)
     if args.seed is not None:
         np.random.seed(args.seed)
 
+    engine = args.engine
+    if args.device_physics:
+        if engine == "pybullet":
+            raise SystemExit("--device-physics requires the analytic engine")
+        engine = "analytic"
+
     backend = setup_backend(time_step=config.TIME_STEP,
                             renders=not args.headless, gravity=True,
-                            engine=args.engine)
+                            engine=engine)
     sensor = make_sensor(backend, size=[1.5, 1.5, 1], position=[0, 0, 0.5],
                          sensor_vector=[0, 0, 1], thickness=0.01,
                          use_force=False, constrained=False,
@@ -83,6 +95,26 @@ def main(argv=None):
     img_counter = 0
     deferred = make_deferred(sensor) if args.device_render else None
     path = Path(args.logdir).joinpath("dataset")
+
+    if args.device_physics:
+        # the whole rollout as ONE vmapped device trial (physics + packed
+        # rendering + RLE wire); dump-parity with the host loop below is
+        # asserted in tests/test_physics_jax.py
+        pose0 = backend.get_pose(obj_id)
+        res = run_trials_device_physics(
+            backend, sensor, obj_id, [{obj_id: pose0}], args.n_timesteps,
+            args.interval, [path])[0]
+        if res is None:
+            raise SystemExit("initial frame is blank — nothing to record")
+        data = {"time_step": res["time_step"], "time": res["time"],
+                "position": res["position"],
+                "orientation": res["orientation"]}
+        path.mkdir(parents=True, exist_ok=True)
+        with open(path.joinpath("data.json"), "w") as f:
+            json.dump(data, f)
+        backend.reset()
+        print(f"wrote {len(data['time_step'])} snapshots to {path}")
+        return
 
     for t in range(args.n_timesteps):
         if (t + 1) % args.interval == 0:

@@ -177,6 +177,27 @@ class TestTrajectoryParity:
             np.testing.assert_allclose(dd["force"], dh["force"],
                                        rtol=0.05, atol=1.0)
 
+    def test_demo_device_physics_cli_matches_host_path(self, tmp_path):
+        """demo --device-physics (the first-contact CLI a new user runs)
+        matches the host stepping loop: same data.json poses within float32
+        drift, all four PNG streams present."""
+        from mmdyn_tpu.cli.demo import main
+
+        argv = ["--engine", "analytic", "--headless", "--n_timesteps", "60",
+                "--interval", "10", "--object", "winebottle"]
+        main(argv + ["--logdir", str(tmp_path / "host")])
+        main(argv + ["--device-physics", "--logdir", str(tmp_path / "dev")])
+
+        dh = json.loads((tmp_path / "host/dataset/data.json").read_text())
+        dd = json.loads((tmp_path / "dev/dataset/data.json").read_text())
+        assert dh["time_step"] == dd["time_step"]
+        assert "force" not in dd          # demo.py records poses only
+        np.testing.assert_allclose(dd["position"], dh["position"], atol=2e-3)
+        np.testing.assert_allclose(dd["orientation"], dh["orientation"],
+                                   atol=1e-6)
+        for stem in ("visual", "tactile", "seg", "depth"):
+            assert (tmp_path / f"dev/dataset/{stem}_0005.png").exists()
+
     def test_vmapped_trials_match_loop(self):
         """K batched trials == K single simulations (vmap correctness)."""
         rng = np.random.default_rng(7)

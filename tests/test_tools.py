@@ -27,6 +27,11 @@ class TestBenchCore:
                                    dtype="bfloat16_full", seq_len=2)
         assert fps > 0 and np.isfinite(loss)
 
+    def test_bench_gen_probe_runs_tiny(self):
+        from bench import bench_gen
+        fps, dt = bench_gen(trials=2, steps=20, interval=10)
+        assert fps > 0 and dt > 0
+
 
 class TestPlotRun:
     def test_plot_run_renders_curves(self, tmp_path):

@@ -145,6 +145,62 @@ class TestReferenceOracle:
                                    atol=1e-3)
 
 
+    def test_forward_parity_with_reference_conditional(self, reference_models,
+                                                       monkeypatch):
+        """CVAE pathway oracle: shock concat into visual/tactile encoders
+        (after the FC trunk, vae.py:195-196/:231-237) and decoders (onto z,
+        vae.py:259/:285-291), pose unconditional (vae.py:118-123)."""
+        latent, cond_dim = 16, 3
+        model = MVAE(latent_size=latent, use_pose=True, dropout_rate=0.0,
+                     conditional=True, condition_dim=cond_dim)
+        rng = np.random.default_rng(1)
+        xv = rng.uniform(size=(3, 64, 64, 3)).astype(np.float32)
+        xt = rng.uniform(size=(3, 64, 64, 3)).astype(np.float32)
+        xp = rng.normal(size=(3, 7)).astype(np.float32)
+        xc = rng.uniform(size=(3, cond_dim)).astype(np.float32)
+        params = model.init(_rngs(), [jnp.array(xv), jnp.array(xt)],
+                            jnp.array(xp), jnp.array(xc))["params"]
+
+        import mmdyn_tpu.models.vae as vae_mod
+        monkeypatch.setattr(vae_mod, "reparametrize", lambda rng, mu, lv: mu)
+        vr, tr, pr, mu, lv = model.apply(
+            {"params": params}, [jnp.array(xv), jnp.array(xt)], jnp.array(xp),
+            jnp.array(xc),
+            rngs={"dropout": jax.random.PRNGKey(1),
+                  "reparam": jax.random.PRNGKey(2)})
+
+        sd = to_torch_state_dict(
+            "cnn-mvae", jax.tree_util.tree_map(np.asarray, params))
+        torch_sd = {k: torch.tensor(np.ascontiguousarray(v))
+                    for k, v in sd.items()}
+        ref = reference_models.MVAE(use_pose=True, latent_size=latent,
+                                    architecture="cnn", encoder_hid=[256],
+                                    decoder_hid=[256], conditional=True,
+                                    condition_dim=cond_dim)
+        res = ref.load_state_dict(torch_sd, strict=True)
+        assert not res.missing_keys and not res.unexpected_keys
+        ref.train()
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Dropout):
+                m.eval()
+        monkeypatch.setattr(type(ref), "reparametrize",
+                            lambda self, means, log_var: means)
+        with torch.no_grad(), torch.backends.mkldnn.flags(enabled=False):
+            rvr, rtr, rpr, rmu, rlv = ref(
+                [torch.tensor(np.ascontiguousarray(xv.transpose(0, 3, 1, 2))),
+                 torch.tensor(np.ascontiguousarray(xt.transpose(0, 3, 1, 2)))],
+                pose=torch.tensor(xp), condition=torch.tensor(xc))
+
+        np.testing.assert_allclose(np.asarray(mu), rmu.numpy(), rtol=1e-3,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vr).transpose(0, 3, 1, 2),
+                                   rvr.numpy(), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(tr).transpose(0, 3, 1, 2),
+                                   rtr.numpy(), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(pr), rpr.numpy(), rtol=1e-3,
+                                   atol=1e-3)
+
+
 def test_export_tool_end_to_end(tmp_path):
     """Train one epoch, export the checkpoint with the CLI tool, torch.load it."""
     import subprocess, sys as _sys

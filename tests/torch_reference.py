@@ -18,7 +18,7 @@ class GoldSwish(nn.Module):
 
 
 class GoldEncoder(nn.Module):
-    def __init__(self, latent_size, dropout=False):
+    def __init__(self, latent_size, dropout=False, condition_dim=0):
         super().__init__()
         self.conv_net = nn.Sequential(
             nn.Conv2d(3, 32, 4, 2, 1, bias=False), GoldSwish(),
@@ -31,22 +31,27 @@ class GoldEncoder(nn.Module):
         # the trajectory harness turns it on to match the reference's
         # Dropout(0.1) (vae.py:207) symmetrically
         self.drop = nn.Dropout(0.1) if dropout else nn.Identity()
-        self.linear_means = nn.Linear(512, latent_size)
-        self.linear_log_var = nn.Linear(512, latent_size)
+        # conditional (CVAE) pathway: the shock vector concatenates between
+        # the FC trunk and the heads (vae.py:195-196, :231-237)
+        self.linear_means = nn.Linear(512 + condition_dim, latent_size)
+        self.linear_log_var = nn.Linear(512 + condition_dim, latent_size)
 
-    def forward(self, x):
+    def forward(self, x, c=None):
         h = self.conv_net(x)
         h = h.reshape(h.size(0), -1)
         h = self.fc(h)
         h = h * torch.sigmoid(h)
         h = self.drop(h)
+        if c is not None:
+            h = torch.cat((h, c.float()), dim=-1)
         return self.linear_means(h), self.linear_log_var(h)
 
 
 class GoldDecoder(nn.Module):
-    def __init__(self, latent_size):
+    def __init__(self, latent_size, condition_dim=0):
         super().__init__()
-        self.upsample = nn.Linear(latent_size, 256 * 5 * 5)
+        # conditional: condition concatenates to z (vae.py:259, :285-291)
+        self.upsample = nn.Linear(latent_size + condition_dim, 256 * 5 * 5)
         self.hallucinate = nn.Sequential(
             nn.ConvTranspose2d(256, 128, 4, 1, 0, bias=False), nn.BatchNorm2d(128), GoldSwish(),
             nn.ConvTranspose2d(128, 64, 4, 2, 1, bias=False), nn.BatchNorm2d(64), GoldSwish(),
@@ -54,7 +59,9 @@ class GoldDecoder(nn.Module):
             nn.ConvTranspose2d(32, 3, 4, 2, 1, bias=False),
         )
 
-    def forward(self, z):
+    def forward(self, z, c=None):
+        if c is not None:
+            z = torch.cat((z, c.float()), dim=-1)
         h = self.upsample(z)
         h = h * torch.sigmoid(h)
         return self.hallucinate(h.reshape(-1, 256, 5, 5))
@@ -99,36 +106,42 @@ def gold_poe(mu, logvar, eps=1e-8):
 class GoldMVAE(nn.Module):
     """Reference-semantics MVAE; z = posterior mean (noise-free parity)."""
 
-    def __init__(self, latent_size, use_pose, dropout=False):
+    def __init__(self, latent_size, use_pose, dropout=False, condition_dim=0):
         super().__init__()
         self.latent_size = latent_size
         self.use_pose = use_pose
-        self.visual_encoder = GoldEncoder(latent_size, dropout=dropout)
-        self.visual_decoder = GoldDecoder(latent_size)
-        self.tactile_encoder = GoldEncoder(latent_size, dropout=dropout)
-        self.tactile_decoder = GoldDecoder(latent_size)
+        self.visual_encoder = GoldEncoder(latent_size, dropout=dropout,
+                                          condition_dim=condition_dim)
+        self.visual_decoder = GoldDecoder(latent_size,
+                                          condition_dim=condition_dim)
+        self.tactile_encoder = GoldEncoder(latent_size, dropout=dropout,
+                                           condition_dim=condition_dim)
+        self.tactile_decoder = GoldDecoder(latent_size,
+                                           condition_dim=condition_dim)
         if use_pose:
+            # pose pathway is unconditional in the reference (Encoder is
+            # constructed without conditional=True, vae.py:118-123)
             self.pose_encoder = GoldPoseEncoder(latent_size)
             self.pose_decoder = GoldMlp([latent_size, 512, 512, 7])
 
-    def forward(self, visual, tactile, pose=None):
+    def forward(self, visual, tactile, pose=None, condition=None):
         present = [m for m in (visual, tactile, pose) if m is not None]
         b = present[0].size(0)
         mus = [torch.zeros(1, b, self.latent_size)]
         lvs = [torch.zeros(1, b, self.latent_size)]
         if visual is not None:
-            mu, lv = self.visual_encoder(visual)
+            mu, lv = self.visual_encoder(visual, condition)
             mus.append(mu[None]); lvs.append(lv[None])
         if tactile is not None:
-            mu, lv = self.tactile_encoder(tactile)
+            mu, lv = self.tactile_encoder(tactile, condition)
             mus.append(mu[None]); lvs.append(lv[None])
         if pose is not None and self.use_pose:
             mu, lv = self.pose_encoder(pose)
             mus.append(mu[None]); lvs.append(lv[None])
         mu, lv = gold_poe(torch.cat(mus), torch.cat(lvs))
         z = mu  # noise-free
-        vr = self.visual_decoder(z)
-        tr = self.tactile_decoder(z)
+        vr = self.visual_decoder(z, condition)
+        tr = self.tactile_decoder(z, condition)
         pr = self.pose_decoder(z) if self.use_pose else None
         return vr, tr, pr, mu, lv
 

@@ -78,6 +78,45 @@ def _quat_angle(pred_pose_denorm, gt_pose_denorm):
     return 2.0 * np.arccos(dot)
 
 
+def _upvec(pose_denorm):
+    """World-frame direction of the body z-axis, R(q) @ e_z, xyzw quats.
+
+    The geodesic angle conflates resting ATTITUDE (which face is down —
+    observable from the crop) with spin about symmetry axes the corpus
+    cannot identify (a sphere's orientation is pure gauge; a box looks
+    identical under its 180-degree symmetries). The body-up direction is
+    invariant to spin about the body z-axis and is the component of
+    orientation a resting-state predictor could actually learn."""
+    q = pose_denorm[:, 3:]
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-9)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return np.stack([2 * (x * z + w * y), 2 * (y * z - w * x),
+                     1 - 2 * (x * x + y * y)], axis=1)
+
+
+def _upvec_angle(pred_pose_denorm, gt_pose_denorm):
+    dot = np.clip(np.sum(_upvec(pred_pose_denorm) * _upvec(gt_pose_denorm),
+                         axis=1), -1.0, 1.0)
+    return np.arccos(dot)
+
+
+def _orient_rows(entry, prefix, pred, gt, base=None, pers=None, floor=None):
+    """Orientation metric rows: geodesic + up-vector, each vs the supplied
+    baselines (mean predictor / persistence) and the autoencode floor."""
+    for name, fn in (("orient_err_rad", _quat_angle),
+                     ("upvec_err_rad", _upvec_angle)):
+        entry[f"{prefix}{name}"] = round(float(fn(pred, gt).mean()), 5)
+        if base is not None:
+            entry[f"{prefix}{name}_mean_predictor"] = round(
+                float(fn(base, gt).mean()), 5)
+        if pers is not None:
+            entry[f"{prefix}{name}_persistence"] = round(
+                float(fn(pers, gt).mean()), 5)
+        if floor is not None:
+            entry[f"{prefix}{name}_autoencode_floor"] = round(
+                float(fn(floor, gt).mean()), 5)
+
+
 def _chunked_predict(session, chunk=256, **arrays):
     """predict() over a large batch in fixed-size chunks (few compiles)."""
     n = len(next(v for v in arrays.values() if v is not None))
@@ -117,10 +156,9 @@ def eval_regression(run, train, test, results):
         "pos_err_xy_mean_predictor_m": round(float(bxy.mean()), 5),
         "pos_err_z_m": round(float(z.mean()), 5),
         "pos_err_z_mean_predictor_m": round(float(bz.mean()), 5),
-        "orient_err_rad": round(float(_quat_angle(pose, gt).mean()), 5),
-        "orient_err_mean_predictor_rad":
-            round(float(_quat_angle(base, gt).mean()), 5),
     }
+    pers = s.denormalize_pose(test["pose"][:, 0])
+    _orient_rows(results["regression"], "", pose, gt, base=base, pers=pers)
     r = results["regression"]
     r["beats_mean_predictor"] = bool(
         r["pos_err_m"] < r["pos_err_mean_predictor_m"])
@@ -178,6 +216,11 @@ def eval_seq(run, train, test, results):
         fp = s.denormalize_pose(np.asarray(floor["pose"]))
         entry["final_pos_err_autoencode_floor_m"] = round(
             float(_pos_err(fp, gt).mean()), 5)
+        if "pose" in pred:
+            _orient_rows(entry, "final_",
+                         s.denormalize_pose(np.asarray(pred["pose"])), gt,
+                         base=base, pers=s.denormalize_pose(test["pose"][:, 0]),
+                         floor=fp)
     results["seq_modeling"] = entry
 
 
@@ -245,6 +288,22 @@ def eval_dyn(run, train, test, results, chunk=256):
             if moving.any():
                 entry["pose_dynamics_within_2x_floor"] = bool(
                     pe[moving].mean() < 2.0 * max(fl, 1e-9))
+        # orientation: one-step geodesic + up-vector vs persistence; the
+        # resting split is the quaternion decode floor (same argument as
+        # the position floor above)
+        pd = s.denormalize_pose(np.asarray(pred["pose"]))
+        cur = s.denormalize_pose(pose)
+        _orient_rows(entry, "onestep_", pd, gt, pers=cur)
+        if (~moving).any():
+            entry["onestep_orient_err_rad_floor"] = round(
+                float(_quat_angle(pd[~moving], gt[~moving]).mean()), 5)
+            entry["onestep_upvec_err_rad_floor"] = round(
+                float(_upvec_angle(pd[~moving], gt[~moving]).mean()), 5)
+        if moving.any():
+            entry["onestep_upvec_err_rad_moving"] = round(
+                float(_upvec_angle(pd[moving], gt[moving]).mean()), 5)
+            entry["onestep_upvec_err_rad_persistence_moving"] = round(
+                float(_upvec_angle(cur[moving], gt[moving]).mean()), 5)
         # WHY the pose floor is where it is: PoE ablation over input
         # modalities. pose-only >> 0 means the pose expert itself is the
         # bottleneck (7 pose dims x pose_multiplier vs a 24,576-pixel

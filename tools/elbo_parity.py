@@ -46,10 +46,10 @@ sys.path.insert(0, str(REPO))
 # data
 # ---------------------------------------------------------------------------
 
-def make_synthetic_sequences(n_seq, seq_len=4, seed=0):
+def make_synthetic_sequences(n_seq, seq_len=4, seed=0, shock_dim=0):
     rng = np.random.default_rng(seed)
     f = lambda *s: rng.uniform(size=s).astype(np.float32)
-    return {
+    seqs = {
         "visual": f(n_seq, seq_len, 64, 64, 3),
         "tactile": f(n_seq, seq_len, 64, 64, 3),
         "pose": f(n_seq, seq_len, 7),
@@ -57,6 +57,11 @@ def make_synthetic_sequences(n_seq, seq_len=4, seed=0):
         "final_tactile": f(n_seq, 64, 64, 3),
         "final_pose": f(n_seq, 7),
     }
+    if shock_dim:
+        # a per-sequence shock, constant over frames (exp_3 logs one shock
+        # per trial, exp_3_force_pert.py:125-140)
+        seqs["shock"] = np.repeat(f(n_seq, 1, shock_dim), seq_len, axis=1)
+    return seqs
 
 
 def load_compiled_sequences(path, n_seq=None):
@@ -71,7 +76,7 @@ def load_compiled_sequences(path, n_seq=None):
                                                        d["visual"].shape[0])
     to_f = lambda a: (np.asarray(a, np.float32) / 255.0
                       if a.dtype == np.uint8 else np.asarray(a, np.float32))
-    return {
+    seqs = {
         "visual": to_f(d["visual"][:n]),
         "tactile": to_f(d["tactile"][:n]),
         "pose": np.asarray(d["pose"][:n], np.float32),
@@ -79,6 +84,9 @@ def load_compiled_sequences(path, n_seq=None):
         "final_tactile": to_f(d["final_tactile"][:n]),
         "final_pose": np.asarray(d["final_pose"][:n], np.float32),
     }
+    if "shock" in d and np.ndim(d["shock"]) == 3:
+        seqs["shock"] = np.asarray(d["shock"][:n], np.float32)
+    return seqs
 
 
 def dyn_flatten_roll(x_bt, final):
@@ -106,12 +114,15 @@ def run_jax(seqs, args, seed=0, init_params_out=None):
     from mmdyn_tpu.train.state import create_train_state
 
     is_reg = args.problem == "regression"
+    cond_dim = (seqs["shock"].shape[-1]
+                if getattr(args, "conditional", False) else 0)
     cfg = ProblemConfig(
         problem_type=args.problem,
         model_name="regressor" if is_reg else "cnn-mvae",
         input_type="visual" if is_reg else "visuotactile",
         use_pose=not is_reg, latent_size=args.latent, batchsize=args.batch,
         lr=args.lr, annealing_epochs=args.anneal, compute_dtype=args.dtype,
+        conditional=cond_dim > 0, condition_dim=cond_dim,
         noise_free=args.noise_free)
     drop = 0.0 if args.no_dropout else 0.1
     if is_reg:
@@ -120,15 +131,17 @@ def run_jax(seqs, args, seed=0, init_params_out=None):
     else:
         model = setup_model("cnn-mvae", cross_modal=True,
                             latent_size=args.latent, use_pose=True,
+                            conditional=cond_dim > 0, condition_dim=cond_dim,
                             dropout_rate=drop, compute_dtype=args.dtype)
 
     ks = jax.random.split(jax.random.PRNGKey(seed), 3)
     rngs = {"params": ks[0], "dropout": ks[1], "reparam": ks[2]}
     img = jnp.zeros((2, 64, 64, 3))
+    cond0 = jnp.zeros((2, cond_dim)) if cond_dim else None
     if is_reg:
         variables = model.init(rngs, img)
     else:
-        variables = model.init(rngs, [img, img], jnp.zeros((2, 7)))
+        variables = model.init(rngs, [img, img], jnp.zeros((2, 7)), cond0)
     if init_params_out is not None:
         init_params_out.append(jax.tree_util.tree_map(np.asarray,
                                                       variables["params"]))
@@ -180,13 +193,15 @@ def run_torch(seqs, args, seed=0, init_params=None):
     torch.manual_seed(seed)
     is_reg = args.problem == "regression"
     dropout = not args.no_dropout
+    cond_dim = (seqs["shock"].shape[-1]
+                if getattr(args, "conditional", False) else 0)
     if is_reg:
         model = GoldRegressor(out_dim=7, dropout=dropout)
         if init_params is not None:
             load_regressor(model, init_params)
     else:
         model = GoldMVAE(latent_size=args.latent, use_pose=True,
-                         dropout=dropout)
+                         dropout=dropout, condition_dim=cond_dim)
         if init_params is not None:
             load_mvae(model, init_params)
     model.train()
@@ -194,20 +209,20 @@ def run_torch(seqs, args, seed=0, init_params=None):
 
     to_img = lambda a: torch.tensor(a.transpose(0, 3, 1, 2))
 
-    def mvae_eval(m, bv, bt, bp, gv, gt, gp, klw):
+    def mvae_eval(m, bv, bt, bp, gv, gt, gp, klw, cond=None):
         def fwd(v, t, p):
             present = [x for x in (v, t, p) if x is not None]
             b = present[0].size(0)
             mus = [torch.zeros(1, b, m.latent_size)]
             lvs = [torch.zeros(1, b, m.latent_size)]
             if v is not None:
-                mu, lvr = m.visual_encoder(v)
+                mu, lvr = m.visual_encoder(v, cond)
                 mus.append(mu[None]); lvs.append(lvr[None])
             if t is not None:
-                mu, lvr = m.tactile_encoder(t)
+                mu, lvr = m.tactile_encoder(t, cond)
                 mus.append(mu[None]); lvs.append(lvr[None])
             if p is not None:
-                mu, lvr = m.pose_encoder(p)
+                mu, lvr = m.pose_encoder(p)   # pose is unconditional
                 mus.append(mu[None]); lvs.append(lvr[None])
             mu, lv = gold_poe(torch.cat(mus), torch.cat(lvs))
             if args.noise_free:
@@ -215,7 +230,7 @@ def run_torch(seqs, args, seed=0, init_params=None):
             else:
                 std = torch.exp(0.5 * lv)
                 z = mu + torch.randn_like(std) * std   # vae.py:52-61
-            return (m.visual_decoder(z), m.tactile_decoder(z),
+            return (m.visual_decoder(z, cond), m.tactile_decoder(z, cond),
                     m.pose_decoder(z), mu, lv)
 
         loss = 0
@@ -236,12 +251,16 @@ def run_torch(seqs, args, seed=0, init_params=None):
         return loss
 
     def batch_views(sl):
-        """Per-problem (inputs, targets) for one batch of sequences."""
+        """Per-problem (inputs, targets, condition) for one batch."""
+        cond = None
         if args.problem == "seq_modeling":
+            if cond_dim:
+                # condition strided like the input (problems.py:664-667)
+                cond = seqs["shock"][sl, 0]
             return ((seqs["visual"][sl, 0], seqs["tactile"][sl, 0],
                      seqs["pose"][sl, 0]),
                     (seqs["final_visual"][sl], seqs["final_tactile"][sl],
-                     seqs["final_pose"][sl]))
+                     seqs["final_pose"][sl]), cond)
         if args.problem == "dyn_modeling":
             bv, gv = dyn_flatten_roll(seqs["visual"][sl],
                                       seqs["final_visual"][sl])
@@ -251,9 +270,11 @@ def run_torch(seqs, args, seed=0, init_params=None):
             # reference rolls pose targets WITHOUT the resting patch
             # (problems.py:798)
             gp = np.roll(bp, -1, axis=0)
-            return (bv, bt_, bp), (gv, gt, gp)
+            if cond_dim:
+                cond = seqs["shock"][sl].reshape(-1, cond_dim)
+            return (bv, bt_, bp), (gv, gt, gp), cond
         # regression: visual frame 0 -> final pose
-        return ((seqs["visual"][sl, 0],), (seqs["final_pose"][sl],))
+        return ((seqs["visual"][sl, 0],), (seqs["final_pose"][sl],), cond)
 
     n = seqs["visual"].shape[0]
     nb = n // args.batch
@@ -263,7 +284,7 @@ def run_torch(seqs, args, seed=0, init_params=None):
         losses = []
         for b in range(nb):
             sl = slice(b * args.batch, (b + 1) * args.batch)
-            ins, tgts = batch_views(sl)
+            ins, tgts, cond = batch_views(sl)
             opt.zero_grad()
             if is_reg:
                 out = model(to_img(ins[0]))
@@ -272,7 +293,9 @@ def run_torch(seqs, args, seed=0, init_params=None):
             else:
                 loss = mvae_eval(model, to_img(ins[0]), to_img(ins[1]),
                                  torch.tensor(ins[2]), to_img(tgts[0]),
-                                 to_img(tgts[1]), torch.tensor(tgts[2]), klw)
+                                 to_img(tgts[1]), torch.tensor(tgts[2]), klw,
+                                 cond=None if cond is None
+                                 else torch.tensor(cond))
             loss.backward()
             opt.step()
             losses.append(float(loss.detach()))
@@ -307,6 +330,14 @@ def main():
                     choices=["float32", "bfloat16", "bfloat16_full"],
                     help="jax-side activation policy (torch side is always "
                     "f32; use to bound the accelerated policies' drift)")
+    ap.add_argument("--conditional", action="store_true",
+                    help="CVAE pathway: the shock condition concatenates "
+                    "into the visual/tactile encoders (after the FC trunk) "
+                    "and decoders (onto z); pose stays unconditional "
+                    "(problems.py:286-289, vae.py:118-123). Requires a "
+                    "shock stream (exp_3 corpora, or synthetic)")
+    ap.add_argument("--shock-dim", type=int, default=3,
+                    help="synthetic shock width (ignored with --dataset)")
     ap.add_argument("--noise-free", action="store_true",
                     help="z = posterior mean on both sides")
     ap.add_argument("--no-dropout", action="store_true",
@@ -336,7 +367,12 @@ def main():
               f"{seqs['visual'].shape[1]} frames from {args.dataset}",
               file=sys.stderr)
     else:
-        seqs = make_synthetic_sequences(args.n_seq, args.seq_len)
+        seqs = make_synthetic_sequences(
+            args.n_seq, args.seq_len,
+            shock_dim=args.shock_dim if args.conditional else 0)
+    if args.conditional and "shock" not in seqs:
+        raise SystemExit("--conditional needs a shock stream; this dataset "
+                         "has none (use an exp_3 corpus)")
 
     if args.seeds is not None:
         # multi-seed spread: JAX side per seed, optional single torch anchor
