@@ -340,12 +340,85 @@ def eval_dyn(run, train, test, results, chunk=256):
     results["dyn_modeling"] = entry
 
 
+def eval_conditional(run, train, test, results):
+    """CVAE counterfactual CONSISTENCY on an exp_3 corpus: does the
+    conditional prediction move the way the ground-truth shock outcomes do?
+
+    The round-3 counterfactual harness (tools/counterfactual.py) showed the
+    prediction responds monotonically to the condition; this check compares
+    the DIRECTION and MAGNITUDE of that response against physics. Both the
+    data and the model are reduced to a linear map shock -> final position
+    (least squares over sequences); consistency = cosine similarity between
+    the two coefficient matrices plus the per-axis sign agreement. The gt
+    map comes from the train split (what the model could have learned), the
+    model map from its own test-split counterfactuals (true shock vs zero
+    shock), so the comparison never touches test-split outcomes.
+    """
+    from mmdyn_tpu.serve.session import InferenceSession
+    s = InferenceSession.from_run(run)
+    if not s.cfg.conditional or "shock" not in test:
+        raise SystemExit("--cond-run needs a conditional run + shock corpus")
+
+    def lstsq_map(shock, pos):
+        """pos ~ shock @ W + b; returns W (S, 3)."""
+        a = np.concatenate([shock, np.ones((len(shock), 1))], axis=1)
+        w, *_ = np.linalg.lstsq(a, pos, rcond=None)
+        return w[:-1]
+
+    sh = test["shock"][:, 0]
+    lo = np.asarray(s.norms.get("shock_min", np.zeros(sh.shape[-1])),
+                    np.float32)
+    hi = np.asarray(s.norms.get("shock_max", np.ones(sh.shape[-1])),
+                    np.float32)
+    rng = np.where(hi - lo == 0, 1.0, hi - lo)
+
+    # ground truth: RAW shock -> final position over the TRAIN split (the
+    # same raw-unit basis as the model map below)
+    gt_w = lstsq_map(train["shock"][:, 0] * rng + lo, s.denormalize_pose(
+        train["final_pose"])[:, :3])
+    zero_norm = np.repeat(((0.0 - lo) / rng)[None], len(sh), axis=0)
+    kw = dict(visual=_f32img(test["visual"][:, 0]),
+              tactile=_f32img(test["tactile"][:, 0]),
+              pose=test["pose"][:, 0] if s.cfg.use_pose else None)
+    p_true = _chunked_predict(s, condition=sh.astype(np.float32), **kw)
+    p_zero = _chunked_predict(s, condition=zero_norm.astype(np.float32), **kw)
+    pos_true = s.denormalize_pose(np.asarray(p_true["pose"]))[:, :3]
+    pos_zero = s.denormalize_pose(np.asarray(p_zero["pose"]))[:, :3]
+    # model map in RAW shock units (same basis as gt_w): displacement per
+    # unit raw shock, via least squares of (pos_true - pos_zero) on raw shock
+    raw = sh * rng + lo
+    a = np.concatenate([raw, np.ones((len(raw), 1))], axis=1)
+    w, *_ = np.linalg.lstsq(a, pos_true - pos_zero, rcond=None)
+    md_w = w[:-1]
+
+    cos = float(np.sum(gt_w * md_w) /
+                max(np.linalg.norm(gt_w) * np.linalg.norm(md_w), 1e-12))
+    # the physically-driven axes: gt slopes with meaningful magnitude
+    strong = np.abs(gt_w) > 0.1 * np.abs(gt_w).max()
+    sign_agree = float((np.sign(gt_w) == np.sign(md_w))[strong].mean())
+    results["conditional"] = {
+        "n_test": int(len(sh)),
+        "gt_shock_to_pos_map": [[round(float(x), 5) for x in r]
+                                for r in gt_w],
+        "model_shock_to_pos_map": [[round(float(x), 5) for x in r]
+                                   for r in md_w],
+        "map_cosine": round(cos, 4),
+        "sign_agreement_strong_axes": round(sign_agree, 3),
+        "mean_cf_displacement_m": round(
+            float(np.linalg.norm(pos_true - pos_zero, axis=1).mean()), 5),
+        "moves_the_right_way": bool(cos > 0.5),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--reg-run", default=None)
     ap.add_argument("--seq-run", default=None)
     ap.add_argument("--dyn-run", default=None)
+    ap.add_argument("--cond-run", default=None,
+                    help="conditional (CVAE) seq run for the counterfactual-"
+                    "consistency check (exp_3 corpora)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -367,6 +440,8 @@ def main():
         eval_seq(args.seq_run, train, test, results)
     if args.dyn_run:
         eval_dyn(args.dyn_run, train, test, results)
+    if args.cond_run:
+        eval_conditional(args.cond_run, train, test, results)
 
     print(json.dumps(results, indent=2))
     if args.out:
