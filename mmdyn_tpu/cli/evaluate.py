@@ -58,7 +58,8 @@ def main(argv=None):
     dataset_path = args.dataset_path or saved["dataset_path"]
 
     problem = Problem(cfg, dataset_path, log_dir=str(run_dir), seed=args.seed,
-                      tensorboard=False, resume=True)
+                      tensorboard=False, resume=True,
+                      no_crop=bool(saved.get("no_crop", False)))
     assert problem._start_epoch > 0, f"no checkpoint found under {run_dir}"
 
     # --- test metrics ------------------------------------------------------

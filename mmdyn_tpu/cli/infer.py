@@ -115,10 +115,13 @@ def _load_frames(frames_dir, modalities, norms=None):
         paths = sorted_glob(m)
         if not paths:
             raise FileNotFoundError(f"no {m}_*.png under {frames_dir}")
+        # runs trained on a --no-crop compile must be served the full frame
+        # (norms.json records the compile's crop setting; default True)
+        use_crop = bool((norms or {}).get("crop", True))
         imgs = []
         for i, path in enumerate(paths):
             bbox = None
-            if i < len(seg_paths):
+            if use_crop and i < len(seg_paths):
                 bbox = _bounding_box(_load_image(seg_paths[i], resize=False))
             img = _load_image(path, bounding_box=bbox)       # 256x256 uint8
             imgs.append(_to_train_res(img))                  # 64x64 uint8
@@ -170,7 +173,8 @@ def main(argv=None):
                   else (cfg.input_type,))
     if args.calibrate:
         session = session.freeze_bn(**_load_frames(args.calibrate,
-                                                   modalities))
+                                                   modalities,
+                                                   norms=session.norms))
 
     if args.export:
         manifest = export_session(session, args.export,

@@ -59,6 +59,12 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-strict-parity", action="store_true", default=False,
                         help="Disable replication of reference dataset quirks")
+    parser.add_argument("--no-crop", action="store_true", default=False,
+                        help="Compile/train WITHOUT the reference's seg-bbox "
+                             "re-crop (datasets.py:347-366). Beyond-parity: "
+                             "keeps the full camera frame so world x/y stays "
+                             "observable (the crop centres the object in "
+                             "every frame, making x/y unlearnable)")
     parser.add_argument("--no-tensorboard", action="store_true", default=False)
     parser.add_argument("--platform", default=None, type=str,
                         help="Force a JAX platform (e.g. cpu)")
@@ -144,6 +150,7 @@ def main(argv=None):
                       seed=args.seed, mesh=mesh,
                       tensorboard=not args.no_tensorboard,
                       strict_parity=not args.no_strict_parity,
+                      no_crop=args.no_crop,
                       resume=args.resume, profile_dir=args.profile_dir,
                       image_interval=args.image_interval,
                       ckpt_interval=args.ckpt_interval,

@@ -34,6 +34,17 @@ import numpy as np
 from mmdyn_tpu.config import COMPILE_SIZE, IMAGE_SIZE
 
 COMPILED_NAME = "compiled_dataset_v2.npz"
+# --no-crop variant (crop=False): same pipeline minus the seg-bbox re-crop.
+# The reference's object-centred crop (datasets.py:347-366) destroys world
+# x/y observability — the object lands in the middle of every frame — which
+# is why its models can never beat a mean predictor on x/y (see
+# docs/PARITY.md "Accuracy at reference scale"). Distinct file name so the
+# two variants never collide in one dataset dir.
+NOCROP_NAME = "compiled_dataset_v2_nocrop.npz"
+
+
+def compiled_name_for(crop=True):
+    return COMPILED_NAME if crop else NOCROP_NAME
 
 
 def _minmax_normalize(x, lo, hi):
@@ -86,12 +97,17 @@ def _to_train_res(np_img):
 
 
 def compile_dataset(dataset_path, strict_parity=True, seed=None,
-                    compiled_name=COMPILED_NAME, verbose=True, engine="auto"):
+                    compiled_name=COMPILED_NAME, verbose=True, engine="auto",
+                    crop=True):
     """Compile ``<dataset_path>/dataset/**`` dumps into a packed npz.
 
     ``engine``: 'pil' (reference-exact Python path), 'native' (the C++ ingest
     library — OpenMP-parallel PNG decode + crop + resample, ~identical output
     within uint8 rounding), or 'auto' (native when it builds, else PIL).
+
+    ``crop=False`` (the --no-crop CLI flag) skips the reference's seg-bbox
+    re-crop on every stream, keeping the camera frame intact so world x/y
+    stays observable. Beyond-parity; write it under ``NOCROP_NAME``.
 
     Returns the path of the written npz.
     """
@@ -204,8 +220,11 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
         for vis_p, tac_p, seg_p in zip(visual_images[frame_slice],
                                        tactile_images[frame_slice],
                                        seg_images[frame_slice]):
-            seg_np_original = _load_image(seg_p, resize=False)
-            bbox = _bounding_box(seg_np_original)
+            if crop:
+                seg_np_original = _load_image(seg_p, resize=False)
+                bbox = _bounding_box(seg_np_original)
+            else:
+                bbox = None
             seg_np = _load_image(seg_p, bounding_box=bbox)
             seg_np = np.where(seg_np == 1, 0, seg_np)
             visual_np = _load_image(vis_p, bounding_box=bbox)
@@ -219,8 +238,11 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
         return (np.stack(vis), np.stack(tac), np.stack(seg), np.stack(avail))
 
     def compile_final_pil(s):
-        final_seg_np = _load_image(final_seg_images[s], resize=False)
-        bbox = _bounding_box(final_seg_np)
+        if crop:
+            final_seg_np = _load_image(final_seg_images[s], resize=False)
+            bbox = _bounding_box(final_seg_np)
+        else:
+            bbox = None
         return (_to_train_res(_load_image(final_visual_images[s],
                                           bounding_box=bbox)),
                 _to_train_res(_load_image(final_tactile_images[s],
@@ -233,10 +255,10 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
             from mmdyn_tpu.data import native
             vis64, tac64, seg64, avail = native.compile_frames(
                 seg_images[frame_slice], visual_images[frame_slice],
-                tactile_images[frame_slice])
+                tactile_images[frame_slice], crop=crop)
             fvis, ftac = native.compile_final(
                 final_seg_images[s], final_visual_images[s],
-                final_tactile_images[s])
+                final_tactile_images[s], crop=crop)
         else:
             vis64, tac64, seg64, avail = compile_sequence_pil(frame_slice)
             fvis, ftac = compile_final_pil(s)
@@ -286,6 +308,7 @@ def compile_dataset(dataset_path, strict_parity=True, seed=None,
         "final_pose": np.stack([seqs["final_pose"][j] for j in order]),
         "seq_length": np.int64(seq_length),
         "has_shock": np.bool_(has_shock),
+        "crop": np.bool_(crop),
         # min-max normalisation constants (datasets.py:187-204) — the
         # reference recomputes and discards these at compile; recording them
         # makes runs self-describing so serving can denormalise pose/shock

@@ -14,7 +14,8 @@ from pathlib import Path
 import numpy as np
 
 
-from mmdyn_tpu.data.compile import COMPILED_NAME, compile_dataset
+from mmdyn_tpu.data.compile import (COMPILED_NAME, compile_dataset,
+                                    compiled_name_for)
 from mmdyn_tpu.data.loader import BatchLoader
 
 
@@ -29,17 +30,21 @@ class VisuoTactileArrays:
             "final_visual", "final_tactile", "final_pose", "shock")
 
     def __init__(self, dataset_path, train=True, train_frac=0.8,
-                 compiled_name=COMPILED_NAME, strict_parity=True, mmap=True):
+                 compiled_name=None, strict_parity=True, mmap=True,
+                 crop=True):
         from mmdyn_tpu.data.compile import load_packed
 
         root = Path(os.path.expanduser(str(dataset_path)))
+        if compiled_name is None:
+            compiled_name = compiled_name_for(crop)
         packed_path = root / compiled_name
         if not packed_path.exists():
             compile_dataset(root, strict_parity=strict_parity,
-                            compiled_name=compiled_name)
+                            compiled_name=compiled_name, crop=crop)
         arrays = load_packed(packed_path, mmap=mmap)
         self.seq_length = int(arrays.pop("seq_length"))
         self.has_shock = bool(arrays.pop("has_shock", False))
+        self.crop = bool(arrays.pop("crop", True))
         # normalisation constants (absent in pre-round-3 compiled datasets)
         self.norms = {k: np.asarray(arrays.pop(k)).tolist()
                       for k in ("pose_min", "pose_max",
@@ -64,17 +69,19 @@ class VisuoTactileArrays:
 
 
 def dataset_setup(dataset_path, problem_type, batchsize=128, shuffle=True,
-                  seed=0, strict_parity=True, mask_loss=True, **_unused):
+                  seed=0, strict_parity=True, mask_loss=True, crop=True,
+                  **_unused):
     """Build train/test splits + loaders (datasets.py:20-66).
 
     Both loaders drop the last incomplete batch; only the train loader
     shuffles (per-epoch), matching the reference DataLoader flags.
     """
-    print(f"Loading dataset from {dataset_path}")
+    print(f"Loading dataset from {dataset_path}"
+          + ("" if crop else " (no-crop variant)"))
     train_dataset = VisuoTactileArrays(dataset_path, train=True,
-                                       strict_parity=strict_parity)
+                                       strict_parity=strict_parity, crop=crop)
     test_dataset = VisuoTactileArrays(dataset_path, train=False,
-                                      strict_parity=strict_parity)
+                                      strict_parity=strict_parity, crop=crop)
     # seq_modeling / regression consume only frame 0 of each sequence
     # (problems.py:648 stride) — don't ship the other T-1 frames to HBM
     frames = 1 if problem_type in ("seq_modeling", "regression") else None

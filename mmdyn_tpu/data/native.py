@@ -99,8 +99,10 @@ def _paths_array(paths):
     return arr
 
 
-def compile_frames(seg_paths, vis_paths, tac_paths):
-    """Batch per-frame compile -> (vis, tac, seg) (N,64,64,3) u8 + avail (N,2)."""
+def compile_frames(seg_paths, vis_paths, tac_paths, crop=True):
+    """Batch per-frame compile -> (vis, tac, seg) (N,64,64,3) u8 + avail (N,2).
+
+    ``crop=False`` skips the seg-bbox re-crop (the --no-crop compile variant)."""
     lib = load()
     assert lib is not None, "native library unavailable"
     n = len(seg_paths)
@@ -114,12 +116,13 @@ def compile_frames(seg_paths, vis_paths, tac_paths):
         out_vis.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_tac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_seg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        out_avail.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        out_avail.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(1 if crop else 0))
     assert failures == 0, f"native compile failed on {failures}/{n} frames"
     return out_vis, out_tac, out_seg, out_avail
 
 
-def compile_final(seg_path, vis_path, tac_path):
+def compile_final(seg_path, vis_path, tac_path, crop=True):
     """Final-frame targets -> (vis, tac) (64,64,3) uint8."""
     lib = load()
     assert lib is not None, "native library unavailable"
@@ -128,7 +131,8 @@ def compile_final(seg_path, vis_path, tac_path):
     rc = lib.mmdyn_compile_final(
         str(seg_path).encode(), str(vis_path).encode(), str(tac_path).encode(),
         out_vis.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        out_tac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        out_tac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(1 if crop else 0))
     assert rc == 0, f"native final-frame compile failed ({rc})"
     return out_vis, out_tac
 

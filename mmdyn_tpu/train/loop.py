@@ -41,7 +41,7 @@ class Problem:
                  logs_root="./logs", log_dir=None, seed=0, mesh=None,
                  tensorboard=True, strict_parity=True, resume=False,
                  profile_dir=None, image_interval=1, ckpt_interval=1,
-                 vis_pose=False):
+                 vis_pose=False, no_crop=False):
         self.dataset_path = dataset_path
         self.mesh = mesh
         self.seed = seed
@@ -78,7 +78,7 @@ class Problem:
         dd = dataset_setup(dataset_path, cfg.problem_type,
                            batchsize=cfg.batchsize, shuffle=True, seed=seed,
                            strict_parity=strict_parity,
-                           mask_loss=cfg.mask_loss)
+                           mask_loss=cfg.mask_loss, crop=not no_crop)
         self.train_dataset = dd["train_dataset"]
         self.test_dataset = dd["test_dataset"]
         self.train_loader = dd["train_loader"]
@@ -123,6 +123,9 @@ class Problem:
         norms["seq_length"] = self.seq_length
         norms["condition_dim"] = condition_dim
         norms["compute_dtype"] = self.cfg.compute_dtype
+        # serving must preprocess raw frames the way this run's compile did
+        # (cli/infer.py gates the seg-bbox re-crop on this)
+        norms["crop"] = bool(getattr(self.train_dataset, "crop", True))
         with open(self.log_dir / "norms.json", "w") as f:
             json.dump(norms, f, indent=2)
 

@@ -348,14 +348,20 @@ int mmdyn_decode_png(const char* path, uint8_t* out, long long cap,
 
 // Per-frame compile: seg bbox -> crop -> 256 bicubic -> seg==1 zero ->
 // avail flags -> 64 bilinear. Outputs are 64*64*3 uint8 each, avail is 2
-// floats. Returns 0 on success.
+// floats. `use_crop == 0` skips the bbox re-crop (the --no-crop compile
+// variant that keeps world xy observable). Returns 0 on success.
 int mmdyn_compile_frame(const char* seg_path, const char* vis_path,
                         const char* tac_path, uint8_t* out_vis,
-                        uint8_t* out_tac, uint8_t* out_seg, float* out_avail) {
-    Image seg_raw;
-    if (!load_png_file(seg_path, seg_raw)) return 1;
-    double box[4];
-    bounding_box(seg_raw, box);
+                        uint8_t* out_tac, uint8_t* out_seg, float* out_avail,
+                        int use_crop) {
+    double box_storage[4];
+    const double* box = nullptr;
+    if (use_crop) {
+        Image seg_raw;
+        if (!load_png_file(seg_path, seg_raw)) return 1;
+        bounding_box(seg_raw, box_storage);
+        box = box_storage;
+    }
 
     Image seg256, vis256, tac256;
     if (!load_256(seg_path, box, seg256)) return 2;
@@ -378,11 +384,15 @@ int mmdyn_compile_frame(const char* seg_path, const char* vis_path,
 // Final-frame targets: bbox from the final seg, visual+tactile crops.
 int mmdyn_compile_final(const char* seg_path, const char* vis_path,
                         const char* tac_path, uint8_t* out_vis,
-                        uint8_t* out_tac) {
-    Image seg_raw;
-    if (!load_png_file(seg_path, seg_raw)) return 1;
-    double box[4];
-    bounding_box(seg_raw, box);
+                        uint8_t* out_tac, int use_crop) {
+    double box_storage[4];
+    const double* box = nullptr;
+    if (use_crop) {
+        Image seg_raw;
+        if (!load_png_file(seg_path, seg_raw)) return 1;
+        bounding_box(seg_raw, box_storage);
+        box = box_storage;
+    }
     Image vis256, tac256;
     if (!load_256(vis_path, box, vis256)) return 2;
     if (!load_256(tac_path, box, tac256)) return 3;
@@ -395,7 +405,8 @@ int mmdyn_compile_final(const char* seg_path, const char* vis_path,
 // Outputs are contiguous (n, 64, 64, 3) / (n, 2). Returns #failures.
 int mmdyn_compile_frames(int n, const char** seg_paths, const char** vis_paths,
                          const char** tac_paths, uint8_t* out_vis,
-                         uint8_t* out_tac, uint8_t* out_seg, float* out_avail) {
+                         uint8_t* out_tac, uint8_t* out_seg, float* out_avail,
+                         int use_crop) {
     int failures = 0;
 #pragma omp parallel for schedule(dynamic) reduction(+:failures)
     for (int i = 0; i < n; ++i) {
@@ -404,7 +415,7 @@ int mmdyn_compile_frames(int n, const char** seg_paths, const char** vis_paths,
             out_vis + size_t(i) * 64 * 64 * 3,
             out_tac + size_t(i) * 64 * 64 * 3,
             out_seg + size_t(i) * 64 * 64 * 3,
-            out_avail + size_t(i) * 2);
+            out_avail + size_t(i) * 2, use_crop);
         if (rc != 0) failures += 1;
     }
     return failures;

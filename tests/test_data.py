@@ -106,6 +106,40 @@ class TestNativeIngest:
                 else:
                     np.testing.assert_array_equal(za[k], zb[k], err_msg=k)
 
+    def test_nocrop_native_matches_pil(self, tmp_path):
+        """--no-crop variant: C++ and PIL paths agree without the bbox crop."""
+        from mmdyn_tpu.data import native
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        make_synthetic_dumps(tmp_path, n_sequences=3, seq_length=4,
+                             image_size=(120, 160))
+        a = compile_dataset(tmp_path, verbose=False, engine="pil",
+                            compiled_name="a_nc.npz", seed=0, crop=False)
+        b = compile_dataset(tmp_path, verbose=False, engine="native",
+                            compiled_name="b_nc.npz", seed=0, crop=False)
+        with np.load(a) as za, np.load(b) as zb:
+            assert not bool(za["crop"]) and not bool(zb["crop"])
+            for k in za.files:
+                if za[k].dtype == np.uint8:
+                    d = np.abs(za[k].astype(int) - zb[k].astype(int))
+                    assert d.max() <= 1, f"{k}: max diff {d.max()}"
+                else:
+                    np.testing.assert_array_equal(za[k], zb[k], err_msg=k)
+
+    def test_nocrop_changes_frames_and_name(self, tmp_path):
+        """crop=False actually skips the re-crop (frames differ from the
+        cropped compile) and VisuoTactileArrays resolves the distinct
+        NOCROP_NAME so the two variants coexist in one dataset dir."""
+        from mmdyn_tpu.data.compile import NOCROP_NAME
+        make_synthetic_dumps(tmp_path, n_sequences=3, seq_length=4,
+                             image_size=(120, 160))
+        ds_c = VisuoTactileArrays(tmp_path, train=True)
+        ds_n = VisuoTactileArrays(tmp_path, train=True, crop=False)
+        assert (tmp_path / NOCROP_NAME).exists()
+        assert ds_c.crop and not ds_n.crop
+        assert np.abs(ds_c.arrays["visual"].astype(int)
+                      - ds_n.arrays["visual"].astype(int)).max() > 8
+
     def test_native_png_decode_matches_pil(self, tmp_path):
         from mmdyn_tpu.data import native
         if not native.available():

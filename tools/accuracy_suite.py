@@ -421,6 +421,9 @@ def main():
                     "consistency check (exp_3 corpora)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--no-crop", action="store_true", default=False,
+                    help="evaluate against the --no-crop compile variant "
+                    "(runs trained with cli.main --no-crop)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -429,9 +432,11 @@ def main():
     maybe_enable()
     from mmdyn_tpu.data.dataset import VisuoTactileArrays
 
-    train = VisuoTactileArrays(args.dataset, train=True).arrays
-    test = VisuoTactileArrays(args.dataset, train=False).arrays
+    crop = not args.no_crop
+    train = VisuoTactileArrays(args.dataset, train=True, crop=crop).arrays
+    test = VisuoTactileArrays(args.dataset, train=False, crop=crop).arrays
     results = {"dataset": str(args.dataset),
+               "crop": crop,
                "n_train": int(len(train["final_pose"])),
                "n_test": int(len(test["final_pose"]))}
     if args.reg_run:
