@@ -233,10 +233,23 @@ class AnalyticBackend(PhysicsBackend):
                         dv = -vn
                     b.velocity = b.velocity + n * dv
                     impulse_force = b.mass * dv / dt
-                # tangential friction damping
+                # tangential friction damping, relative to the support's own
+                # tangential motion: a body riding a moving support is dragged
+                # toward co-motion (pybullet lateral friction; exp_3's shocked
+                # mass-100 sensor carries the object instead of sliding out
+                # from under it). Static supports have sup_t == 0 exactly, so
+                # exp_1/exp_2 trajectories are bit-identical to the
+                # world-frame damping this generalises. One-way coupling: the
+                # support feels no reaction (it outweighs the object 100:1
+                # here; Bullet's mutual impulse would be a ~1% correction).
                 vn_new = float(np.dot(b.velocity, n))
                 v_t = b.velocity - n * vn_new
-                b.velocity = n * vn_new + v_t * self.damping
+                sup = self.bodies[support_id]
+                if sup.fixed or sup.shape == "plane" or sup.mass <= 0:
+                    sup_t = np.zeros(3)
+                else:
+                    sup_t = sup.velocity - n * float(np.dot(sup.velocity, n))
+                b.velocity = n * vn_new + sup_t + (v_t - sup_t) * self.damping
                 # at rest the restoring impulse exactly cancels gravity, so it
                 # IS the support force; during impact it is the impact force
                 rest_force = b.mass * float(np.dot(-self.gravity, n))

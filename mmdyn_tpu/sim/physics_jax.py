@@ -144,10 +144,21 @@ class SimulatorJax:
                                -(1.0 + self.restitution) * vn)
                 v = jnp.where(neg, v + n * dv, v)
                 impulse = jnp.where(neg, mass[i] * dv / dt, 0.0)
-                # tangential friction damping
+                # tangential friction damping relative to the support's own
+                # tangential motion (physics.py: moving supports drag their
+                # riders; static supports have sup_t == 0 exactly, keeping
+                # exp_1/exp_2 bit-identical). vel[j] is the support's LATEST
+                # velocity this tick — same id-order convention as positions.
                 vn_new = jnp.dot(v, n)
                 v_t = v - n * vn_new
-                v = jnp.where(active, n * vn_new + v_t * self.damping, v)
+                if is_ground or not self.movable[j]:
+                    sup_t = jnp.zeros(3)
+                else:
+                    sv = vel[j]
+                    sup_t = sv - n * jnp.dot(sv, n)
+                v = jnp.where(active,
+                              n * vn_new + sup_t + (v_t - sup_t) * self.damping,
+                              v)
                 rest_force = mass[i] * jnp.dot(-g, n)
                 normal_force = jnp.where(impulse > 0, impulse, rest_force)
                 slot = 0 if is_ground else self._slot_of[j]

@@ -102,6 +102,32 @@ class TestTrajectoryParity:
         # nothing leapfrogged to infinity (the round-3 bug class)
         assert np.abs(traj_d).max() < 10.0
 
+    def test_support_drag_carries_rider(self):
+        # Friction couples a body to its MOVING support (pybullet lateral
+        # friction, exp_3's shocked sensor): a strong lateral shock on the
+        # plate must drag the object riding it — not slide out from under it
+        # and leave the object to free-fall in place (the pre-round-5
+        # world-frame damping behavior).
+        shock = np.array([8000.0, 0.0, 0.0])
+        host = _exp1_backend("box", orientation=(0, 0, 0, 1),
+                             sensor_mass=100, obj_pos=(0.0, 0.0, 1.3))
+        traj_h, _ = _host_rollout(
+            host, 500,
+            forces=lambda t: ([(1, shock)] if 130 <= t <= 160 else []))
+        plate_x, obj = traj_h[-1, 1], traj_h[-1, 2]
+        assert obj[0] > 0.3, "object was not dragged with the plate"
+        assert obj[2] > 0.9, "object fell off its support"
+        assert abs(obj[0] - plate_x[0]) < 0.75, "object left the plate"
+        assert plate_x[0] > obj[0] > 0.0, "object should lag the plate (slip)"
+
+        dev = _exp1_backend("box", orientation=(0, 0, 0, 1),
+                            sensor_mass=100, obj_pos=(0.0, 0.0, 1.3))
+        ids = sorted(dev.bodies)
+        ext = np.zeros((1, 500, len(ids), 3), np.float32)
+        ext[0, 130:161, 1] = shock
+        _, traj_d, _ = _device_rollout(dev, 500, ext=ext)
+        np.testing.assert_allclose(traj_d[0], traj_h, atol=5e-3)
+
     def test_exp1_device_physics_cli_matches_host_path(self, tmp_path):
         """exp_1 --device-physics produces the same corpus as the host loop:
         same directory layout, all four PNG streams, and per-snapshot poses
