@@ -65,19 +65,20 @@ def _encode(flat, row_len, planes):
     elements. Returns ``planes``+2 bytes per run on the wire — ``planes``
     value byte-planes + a uint16 length (row breaks cap every run below
     2^16) — plus the run count; only the first n_runs entries of each
-    array are meaningful. The scatter-min (starts) dominates the encode
-    cost (TPU scatters run ~30M elem/s), which is why callers FOLD streams
-    into unused value bytes: fewer elements beat fewer wire bytes."""
+    array are meaningful. The run-start compaction dominates the encode
+    cost, which is why callers FOLD streams into unused value bytes:
+    fewer elements beat fewer wire bytes. It lowers as ONE XLA sort of m
+    keys — measured 331M elem/s on TPU vs 107M for the round-4
+    scatter-min and 5M for searchsorted-over-cumsum (tools/bench_wire.py,
+    all three bit-exact on the same contract)."""
     m = flat.shape[0]
     idx = lax.iota(jnp.int32, m)
     prev = jnp.concatenate([flat[:1], flat[:-1]])
     b = (flat != prev) | ((idx % row_len) == 0)
-    rid = jnp.cumsum(b.astype(jnp.int32)) - 1
-    n_runs = rid[-1] + 1
-    # one scatter-min for the run starts; everything else derives from
-    # gathers/shifts (rid and starts are sorted — hint the lowering)
-    starts = jnp.full(m, m, jnp.int32).at[rid].min(idx,
-                                                   indices_are_sorted=True)
+    n_runs = jnp.sum(b.astype(jnp.int32))
+    # compact the boundary positions to the front: non-boundaries map to
+    # the sentinel m, so sorting yields [start_0..start_{r-1}, m, m, ...]
+    starts = jnp.sort(jnp.where(b, idx, m))
     vals = flat.at[jnp.minimum(starts, m - 1)].get(indices_are_sorted=True,
                                                    mode="clip")
     # run r ends where run r+1 starts; the init value m closes the last run
